@@ -1,0 +1,444 @@
+"""GP orchestration API.
+
+Behavioral parity with the reference ``celerite.GP``
+(/root/reference/celerite/celerite.py:14-567): a ModelSet of ``kernel`` and
+``mean`` submodels with ``compute / log_likelihood / grad_log_likelihood /
+predict / sample / sample_conditional / apply_inverse / dot / get_matrix``
+and dirty-flag recomputation.
+
+TPU-native extension: :meth:`GP.build_loglik` returns a **pure, jittable**
+function ``theta_active -> (log_likelihood, ok)`` over the unfrozen
+parameter vector, built on the statically-shaped padded term lowering.  The
+samplers in :mod:`celerite_tpu.inference` consume that function; the mutable
+class API exists for reference compatibility and interactive use.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import solver, terms
+from .modeling import ConstantModel, ModelSet, Model
+from .ops import seq
+from .ops.lower import Coefficients, lower
+
+__all__ = ["GP"]
+
+
+def _mean_value_fn(mean_model):
+    """A traceable (params, x) -> value function for a mean model.
+
+    ConstantModel and zero-parameter models are handled automatically; other
+    mean models may provide a traceable ``value_fn(params, x)`` method.
+    """
+    if isinstance(mean_model, ConstantModel):
+        return lambda params, x: params[0] * jnp.ones_like(x)
+    if hasattr(mean_model, "value_fn"):
+        return mean_model.value_fn
+    if mean_model.full_size == 0:
+        return lambda params, x: jnp.asarray(mean_model.get_value(np.zeros(1)))[
+            0
+        ] * jnp.ones_like(x)
+
+    def fallback(params, x):
+        raise ValueError(
+            "custom mean models used in jitted paths must define "
+            "value_fn(params, x)"
+        )
+
+    return fallback
+
+
+class GP(ModelSet):
+    """The main user-facing Gaussian-Process interface.
+
+    Args:
+        kernel: a :class:`celerite_tpu.terms.Term`.
+        mean: a float or a :class:`celerite_tpu.modeling.Model`.
+        fit_mean: if False, the mean's parameters are frozen.
+    """
+
+    def __init__(
+        self,
+        kernel,
+        mean=0.0,
+        fit_mean=False,
+        log_white_noise=None,
+        fit_white_noise=False,
+    ):
+        self._solver = None
+        self._computed = False
+        self._t = None
+        self._yerr = None
+        self._A = np.empty(0)
+        self._U = np.empty((0, 0))
+        self._V = np.empty((0, 0))
+
+        if log_white_noise is not None:
+            warnings.warn(
+                "The 'log_white_noise' parameter is deprecated. "
+                "Use a 'JitterTerm' instead."
+            )
+            jt = terms.JitterTerm(log_sigma=float(log_white_noise))
+            if not fit_white_noise:
+                jt.freeze_parameter("log_sigma")
+            kernel = kernel + jt
+
+        try:
+            mean = ConstantModel(float(mean))
+        except TypeError:
+            pass
+        if not fit_mean:
+            for name in mean.get_parameter_names():
+                mean.freeze_parameter(name)
+
+        super().__init__([("kernel", kernel), ("mean", mean)])
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def kernel(self):
+        return self.models["kernel"]
+
+    @property
+    def mean(self):
+        return self.models["mean"]
+
+    @property
+    def solver(self):
+        if self._solver is None:
+            self._solver = solver.CholeskySolver()
+        return self._solver
+
+    @property
+    def dirty(self):
+        return ModelSet.dirty.fget(self) or not self._computed
+
+    @dirty.setter
+    def dirty(self, value):
+        self._computed = not value
+        ModelSet.dirty.fset(self, value)
+
+    @property
+    def computed(self):
+        return (
+            self._solver is not None
+            and self._solver.computed()
+            and not self.dirty
+        )
+
+    # -- compute ------------------------------------------------------------
+    def compute(
+        self, t, yerr=1.123e-12, check_sorted=True, A=None, U=None, V=None
+    ):
+        """Lower the kernel and factor the covariance matrix.
+
+        Raises ValueError for unsorted input, LinAlgError for non-PD K.
+        """
+        t = np.atleast_1d(np.asarray(t, dtype=float))
+        if check_sorted and np.any(np.diff(t) < 0.0):
+            raise ValueError("the input coordinates must be sorted")
+        if check_sorted and t.ndim > 1:
+            raise ValueError("dimension mismatch")
+        self._t = t
+        self._yerr = np.empty_like(t)
+        self._yerr[:] = yerr
+        self._A = np.empty(0) if A is None else np.asarray(A)
+        self._U = np.empty((0, 0)) if U is None else np.asarray(U)
+        self._V = np.empty((0, 0)) if V is None else np.asarray(V)
+
+        coeffs = self.kernel.coefficients
+        self.solver.compute(
+            self.kernel.jitter,
+            *coeffs,
+            A=self._A,
+            U=self._U,
+            V=self._V,
+            t=t,
+            diag=self._yerr**2,
+        )
+        self.dirty = False
+
+    def _recompute(self):
+        if not self.computed:
+            if self._t is None:
+                raise RuntimeError("you must call 'compute' first")
+            self.compute(
+                self._t,
+                self._yerr,
+                check_sorted=False,
+                A=self._A,
+                U=self._U,
+                V=self._V,
+            )
+
+    def _process_input(self, y):
+        if self._t is None:
+            raise RuntimeError("you must call 'compute' first")
+        if len(self._t) != len(y):
+            raise ValueError("dimension mismatch")
+        return np.ascontiguousarray(y, dtype=float)
+
+    # -- likelihood ---------------------------------------------------------
+    def log_likelihood(self, y, quiet=False):
+        """Marginal GP log-likelihood of ``y`` (requires compute first)."""
+        y = self._process_input(y)
+        if y.ndim > 1:
+            raise ValueError("dimension mismatch")
+        resid = y - self.mean.get_value(self._t)
+        try:
+            self._recompute()
+        except solver.LinAlgError:
+            if quiet:
+                return -np.inf
+            raise
+        logdet = self.solver.log_determinant()
+        if not np.isfinite(logdet):
+            return -np.inf
+        ll = -0.5 * (
+            self.solver.dot_solve(resid)
+            + logdet
+            + len(y) * math.log(2.0 * math.pi)
+        )
+        if not np.isfinite(ll):
+            return -np.inf
+        return ll
+
+    def grad_log_likelihood(self, y, quiet=False):
+        """(ll, grad) w.r.t. the active parameter vector.
+
+        The reference re-runs the factorization with forward-mode AD scalars
+        and chain-rules through coefficient jacobians
+        (celerite.py:221-305); here a single reverse-mode pass through the
+        pure log-likelihood handles kernel and mean parameters together.
+        """
+        y = self._process_input(y)
+        if y.ndim > 1:
+            raise ValueError("dimension mismatch")
+        fn = self.build_loglik(self._t, y, yerr=self._yerr)
+        theta = jnp.asarray(self.get_parameter_vector())
+        (ll, ok), grad = jax.value_and_grad(fn, has_aux=True)(theta)
+        if not bool(ok):
+            if quiet:
+                return -np.inf, np.zeros(self.vector_size)
+            raise solver.LinAlgError("failed to factorize or solve matrix")
+        return float(ll), np.asarray(grad)
+
+    # -- pure functional core ------------------------------------------------
+    def build_loglik(self, t, y, yerr=1.123e-12, diag=None):
+        """Return a pure jittable ``theta_active -> (ll, ok)`` closure.
+
+        ``theta_active`` follows ``get_parameter_vector()`` ordering (kernel
+        params then mean params, frozen entries excluded).  Uses the padded
+        statically-shaped term lowering so the closure can be jitted,
+        vmapped over chains, and differentiated.  General (A, U, V) blocks
+        from :meth:`compute` are folded in if present.
+        """
+        t = jnp.asarray(np.atleast_1d(t), dtype=jnp.result_type(float))
+        y = jnp.asarray(y)
+        if diag is None:
+            diag = jnp.square(jnp.broadcast_to(jnp.asarray(yerr), t.shape))
+        else:
+            diag = jnp.asarray(diag)
+
+        mask = np.asarray(self.unfrozen_mask)
+        fixed = jnp.asarray(self.parameter_vector)
+        idx = np.flatnonzero(mask)
+        nk = self.kernel.full_size
+        kernel = self.kernel
+        mean_fn = _mean_value_fn(self.mean)
+
+        has_general = self._A is not None and np.size(self._A) > 0
+        A_gen = jnp.asarray(self._A) if has_general else None
+        U_gen = jnp.asarray(self._U) if has_general else None
+        V_gen = jnp.asarray(self._V) if has_general else None
+
+        def loglik(theta):
+            full = fixed.at[idx].set(theta) if len(idx) else fixed
+            kp, mp = full[:nk], full[nk:]
+            coeffs = Coefficients(
+                *kernel.get_padded_coefficients(kp),
+                jitter=kernel.get_jitter(kp),
+            )
+            resid = y - mean_fn(mp, t)
+            ssm = lower(
+                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
+            )
+            return seq.gp_log_likelihood(ssm, resid)
+
+        return loglik
+
+    def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None):
+        """Pure ``theta -> log posterior`` (ll + prior), -inf-safe.
+
+        ``log_prior`` defaults to a traceable box prior built from the
+        parameter bounds (the modeling protocol's log_prior semantics).
+        """
+        ll_fn = self.build_loglik(t, y, yerr=yerr)
+        if log_prior is None:
+            bounds = self.get_parameter_bounds()
+            lo = jnp.asarray(
+                [b[0] if b[0] is not None else -jnp.inf for b in bounds]
+            )
+            hi = jnp.asarray(
+                [b[1] if b[1] is not None else jnp.inf for b in bounds]
+            )
+
+            def log_prior(theta):
+                in_box = jnp.all((theta >= lo) & (theta <= hi))
+                return jnp.where(in_box, 0.0, -jnp.inf)
+
+        def logprob(theta):
+            lp = log_prior(theta)
+            ll, ok = ll_fn(theta)
+            total = lp + jnp.where(ok, ll, -jnp.inf)
+            return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+        return logprob
+
+    # -- linear algebra -----------------------------------------------------
+    def apply_inverse(self, y):
+        """K^-1 y (with yerr and jitter on the diagonal)."""
+        self._recompute()
+        return self.solver.solve(self._process_input(y))
+
+    def dot(
+        self, y, t=None, A=None, U=None, V=None, kernel=None,
+        check_sorted=True,
+    ):
+        """K y without the yerr diagonal (reference celerite.py:330-397)."""
+        if kernel is None:
+            kernel = self.kernel
+        if t is not None:
+            t = np.atleast_1d(np.asarray(t, dtype=float))
+            if check_sorted and np.any(np.diff(t) < 0.0):
+                raise ValueError("the input coordinates must be sorted")
+            if check_sorted and t.ndim > 1:
+                raise ValueError("dimension mismatch")
+            A = np.empty(0) if A is None else A
+            U = np.empty((0, 0)) if U is None else U
+            V = np.empty((0, 0)) if V is None else V
+        else:
+            if not self.computed:
+                raise RuntimeError("you must call 'compute' first")
+            t, A, U, V = self._t, self._A, self._U, self._V
+        return self.solver.dot(
+            kernel.jitter,
+            *kernel.coefficients,
+            A,
+            U,
+            V,
+            t,
+            np.ascontiguousarray(y, dtype=float),
+        )
+
+    # -- prediction ---------------------------------------------------------
+    def predict(self, y, t=None, return_cov=True, return_var=False):
+        """Conditional predictive distribution at coordinates ``t``.
+
+        Returns ``mu``, ``(mu, cov)`` or ``(mu, var)``; O(N) mean via the
+        lag-state scan, dense O(N M) variance (reference celerite.py:399-474).
+        """
+        y = self._process_input(y)
+        if y.ndim > 1:
+            raise ValueError("dimension mismatch")
+        if t is None:
+            xs = self._t
+        else:
+            xs = np.ascontiguousarray(t, dtype=float)
+            if xs.ndim > 1:
+                raise ValueError("dimension mismatch")
+
+        self._recompute()
+        resid = y - self.mean.get_value(self._t)
+
+        if t is None:
+            alpha = np.asarray(self.solver.solve(resid)).reshape(-1)
+            alpha = resid - (self._yerr**2 + self.kernel.jitter) * alpha
+        elif not len(self._A):
+            alpha = self.solver.predict(resid, xs)
+        else:
+            Kxs = self.get_matrix(xs, self._t)
+            alpha = np.dot(
+                Kxs, np.asarray(self.solver.solve(resid)).reshape(-1)
+            )
+
+        mu = self.mean.get_value(xs) + np.asarray(alpha)
+        if not (return_var or return_cov):
+            return mu
+
+        Kxs = self.get_matrix(xs, self._t)
+        KxsT = np.ascontiguousarray(Kxs.T, dtype=np.float64)
+        if return_var:
+            var = -np.sum(
+                KxsT * np.asarray(self.apply_inverse(KxsT)), axis=0
+            )
+            var += self.kernel.get_value(0.0)
+            return mu, var
+
+        cov = self.kernel.get_value(xs[:, None] - xs[None, :])
+        cov -= np.dot(Kxs, np.asarray(self.apply_inverse(KxsT)))
+        return mu, cov
+
+    def get_matrix(
+        self, x1=None, x2=None, include_diagonal=None, include_general=None
+    ):
+        """Dense covariance matrix (reference celerite.py:476-516)."""
+        if x1 is None and x2 is None:
+            if self._t is None or not self.computed:
+                raise RuntimeError("you must call 'compute' first")
+            K = self.kernel.get_value(
+                self._t[:, None] - self._t[None, :]
+            )
+            if include_diagonal is None or include_diagonal:
+                K[np.diag_indices_from(K)] += (
+                    self._yerr**2 + self.kernel.jitter
+                )
+            if (include_general is None or include_general) and len(
+                self._A
+            ):
+                K[np.diag_indices_from(K)] += self._A
+                K += np.tril(np.dot(self._U.T, self._V), -1)
+                K += np.triu(np.dot(self._V.T, self._U), 1)
+            return K
+
+        incl = False
+        x1 = np.ascontiguousarray(x1, dtype=float)
+        if x2 is None:
+            x2 = x1
+            incl = include_diagonal is not None and include_diagonal
+        K = self.kernel.get_value(x1[:, None] - x2[None, :])
+        if incl:
+            K[np.diag_indices_from(K)] += self.kernel.jitter
+        return K
+
+    # -- sampling ------------------------------------------------------------
+    def sample(self, size=None, seed=None):
+        """Sample from the GP prior at the computed coordinates."""
+        self._recompute()
+        rng = np.random.default_rng(seed) if seed is not None else np.random
+        if size is None:
+            n = rng.standard_normal(len(self._t)) if seed is not None else (
+                np.random.randn(len(self._t))
+            )
+        else:
+            n = (
+                rng.standard_normal((len(self._t), size))
+                if seed is not None
+                else np.random.randn(len(self._t), size)
+            )
+        n = self.solver.dot_L(n)
+        if size is None:
+            return self.mean.get_value(self._t) + n[:, 0]
+        return self.mean.get_value(self._t)[None, :] + n.T
+
+    def sample_conditional(self, y, t=None, size=None, regularize=None):
+        """Sample from the predictive distribution (O(M^3) in len(t))."""
+        mu, cov = self.predict(y, t, return_cov=True)
+        if regularize is not None:
+            cov[np.diag_indices_from(cov)] += regularize
+        return np.random.multivariate_normal(mu, cov, size=size)

@@ -1,0 +1,32 @@
+"""Numeric core: semiseparable solver ops, lowering, oracles.
+
+Layout (each module documents the reference component it replaces):
+
+- ``kernels``: closed-form kernel / PSD evaluation (utils.h analog)
+- ``lower``: coefficient arrays -> semiseparable (U, V, phi, A) lowering
+- ``seq``: sequential ``lax.scan`` solver (cholesky.h analog)
+- ``blocked``: two-level block-parallel solver (no reference analog;
+  the TPU-native reformulation)
+- ``dense``: O(N^3) dense oracle (direct.h analog)
+- ``poly``: polynomial algebra + Sturm PSD positivity check (poly.h analog)
+- ``carma``: CARMA Kalman filter + conversion (carma.h analog)
+"""
+
+from . import dense, kernels, lower, seq  # noqa: F401
+
+
+def best_ll(ssm, resid):
+    """GP log-likelihood via the fastest available backend.
+
+    Dispatches to the block-parallel solver for large N (where the
+    sequential scan is latency-bound) and the sequential scan otherwise.
+    Returns the ll value only (-inf when the factorization fails).
+    """
+    n = ssm.U.shape[0]
+    if n >= 4096:
+        from . import blocked
+
+        ll, _ = blocked.gp_log_likelihood(ssm, resid)
+    else:
+        ll, _ = seq.gp_log_likelihood(ssm, resid)
+    return ll

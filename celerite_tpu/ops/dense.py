@@ -1,0 +1,54 @@
+"""Dense O(N^3) oracle solver.
+
+TPU analog of the reference's ``DirectSolver``
+(/root/reference/cpp/include/celerite/solver/direct.h) and of the dense numpy
+oracles used throughout the reference test-suite
+(/root/reference/tests/test_celerite.py:45-151).  Used only to validate the
+O(N) scan solvers; never on the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .kernels import kernel_value
+
+__all__ = ["build_matrix", "log_likelihood", "solve"]
+
+
+def build_matrix(
+    coeffs,
+    t,
+    diag=None,
+    A_gen=None,
+    U_gen=None,
+    V_gen=None,
+):
+    """Build the dense covariance matrix (including diag/jitter/general)."""
+    a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
+    t = jnp.asarray(t)
+    tau = t[:, None] - t[None, :]
+    k = kernel_value(a_real, c_real, a_comp, b_comp, c_comp, d_comp, tau)
+    n = t.shape[0]
+    eye = jnp.eye(n, dtype=k.dtype)
+    k = k + jitter * eye
+    if diag is not None:
+        k = k + jnp.diag(jnp.asarray(diag, dtype=k.dtype))
+    if U_gen is not None and U_gen.shape[0] > 0:
+        low = U_gen.T @ V_gen
+        k = k + jnp.tril(low, -1) + jnp.triu(low.T, 1) + jnp.diag(A_gen)
+    return k
+
+
+def solve(K, y):
+    return jnp.linalg.solve(K, y)
+
+
+def log_likelihood(K, resid):
+    """Dense multivariate-normal log-likelihood of ``resid`` under cov K."""
+    n = K.shape[0]
+    sign, logdet = jnp.linalg.slogdet(K)
+    alpha = jnp.linalg.solve(K, resid)
+    return -0.5 * (
+        resid @ alpha + logdet + n * jnp.log(2.0 * jnp.pi)
+    )

@@ -1,0 +1,19 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh with 64-bit numerics so oracle
+# comparisons match the reference's double-precision behavior.
+#
+# The environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon
+# (the tunneled TPU) before any user code runs, so plain env vars are too
+# late — override through jax.config instead.  XLA_FLAGS still works because
+# the CPU client is created lazily on first use.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

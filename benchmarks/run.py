@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark grid: (N, J) scaling of the solver backends + sampler rates.
+
+TPU analog of the reference benchmark driver
+(/root/reference/examples/benchmark/run.py): sweeps N = 2^minN..2^maxN and
+J terms, timing factor+ll per backend, writing CSV.  Also measures NUTS
+samples/s on a SHO fit (the metric BASELINE.json tracks).
+
+Usage:
+  python benchmarks/run.py --backends seq,blocked,pallas,native \
+      --minN 6 --maxN 20 --dtype float32 -o bench.csv
+  python benchmarks/run.py --sampler -o sampler.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+
+def timer(fn, max_time=5.0):
+    """Adaptive wall-clock timer (reference celerite/timer.py analog)."""
+    fn()  # warmup / compile
+    total, k = 0.0, 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 0.2 or k < 3:
+        fn()
+        k += 1
+        if time.perf_counter() - t0 > max_time:
+            break
+    return (time.perf_counter() - t0) / k
+
+
+def make_kernel(terms_mod, j):
+    """A kernel with 2*j semiseparable rank (j SHO terms)."""
+    kernel = terms_mod.SHOTerm(
+        log_S0=0.1, log_Q=1.0, log_omega0=0.5
+    )
+    for i in range(1, j):
+        kernel = kernel + terms_mod.SHOTerm(
+            log_S0=0.1 - 0.1 * i, log_Q=0.7, log_omega0=0.5 + 0.2 * i
+        )
+    return kernel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--output", default="bench.csv")
+    ap.add_argument("--backends", default="seq,blocked,native")
+    ap.add_argument("--minN", type=int, default=6)
+    ap.add_argument("--maxN", type=int, default=18)
+    ap.add_argument("--terms", default="1,2,4")
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--sampler", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from celerite_tpu import terms, native
+    from celerite_tpu.ops import blocked, pallas_solver, seq
+    from celerite_tpu.ops.lower import Coefficients, lower
+
+    dtype = jnp.dtype(args.dtype)
+    backends = args.backends.split(",")
+    rng = np.random.default_rng(42)
+
+    if args.sampler:
+        run_sampler_bench(args, jax, jnp, dtype)
+        return
+
+    rows = []
+    for j in map(int, args.terms.split(",")):
+        kernel = make_kernel(terms, j)
+        coeffs_np = [np.asarray(c) for c in kernel.coefficients]
+        for logn in range(args.minN, args.maxN + 1):
+            n = 2**logn
+            t = np.sort(rng.uniform(0, n / 1000.0, n))
+            y = rng.standard_normal(n)
+            diag = np.full(n, 0.01)
+
+            coeffs = Coefficients(
+                *[jnp.asarray(c, dtype) for c in coeffs_np],
+                jitter=jnp.zeros((), dtype),
+            )
+            tj = jnp.asarray(t, dtype)
+            dj = jnp.asarray(diag, dtype)
+            yj = jnp.asarray(y, dtype)
+
+            row = {"J": 2 * j, "N": n}
+            for backend in backends:
+                if backend == "native":
+                    if not native.available():
+                        continue
+                    U, V, P, A = [
+                        np.asarray(v)
+                        for v in lower(
+                            Coefficients(
+                                *[jnp.asarray(c) for c in coeffs_np],
+                                jitter=jnp.zeros(()),
+                            ),
+                            jnp.asarray(t),
+                            jnp.asarray(diag),
+                        )
+                    ]
+                    dt = timer(lambda: native.loglike(U, V, P, A, y))
+                else:
+                    fn = {
+                        "seq": seq.gp_log_likelihood,
+                        "blocked": blocked.gp_log_likelihood,
+                        "pallas": pallas_solver.gp_log_likelihood,
+                    }[backend]
+
+                    @jax.jit
+                    def ll(tj=tj, dj=dj, yj=yj, coeffs=coeffs, fn=fn):
+                        ssm = lower(coeffs, tj, dj)
+                        return fn(ssm, yj)[0]
+
+                    dt = timer(
+                        lambda: jax.block_until_ready(ll())
+                    )
+                row["{0}_time".format(backend)] = dt
+            rows.append(row)
+            print(row, flush=True)
+
+    keys = ["J", "N"] + [
+        "{0}_time".format(b) for b in backends
+    ]
+    with open(args.output, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+
+
+def run_sampler_bench(args, jax, jnp, dtype):
+    from celerite_tpu import GP, terms
+    from celerite_tpu.inference import sample_nuts
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    t = np.sort(rng.uniform(0, 30, n))
+    yerr = np.full(n, 0.25)
+    gsim = GP(terms.SHOTerm(log_S0=0.3, log_Q=1.2, log_omega0=0.7))
+    gsim.compute(t, yerr)
+    y = gsim.sample(seed=3)
+
+    gp = GP(terms.SHOTerm(log_S0=0.0, log_Q=0.5, log_omega0=0.5))
+    gp.compute(t, yerr)
+    lp = gp.build_logprob(
+        t, y, yerr=yerr,
+        log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+    )
+    n_chains = 8
+    init = jnp.asarray(
+        gp.get_parameter_vector()[None, :]
+        + 0.05 * rng.standard_normal((n_chains, 3))
+    )
+
+    t0 = time.perf_counter()
+    chain, info = sample_nuts(
+        lp, init, jax.random.PRNGKey(0), num_warmup=300, num_samples=300
+    )
+    jax.block_until_ready(chain)
+    dt = time.perf_counter() - t0
+    total = n_chains * 300
+    print(
+        {
+            "samples_per_s": total / dt,
+            "leapfrogs": int(info["num_steps"]),
+            "accept": float(info["accept_prob"]),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

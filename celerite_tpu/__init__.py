@@ -11,8 +11,8 @@ SMC) on top.
 
 from .gp import GP
 from .modeling import ConstantModel, Model, ModelSet
-from .solver import CholeskySolver, LinAlgError
-from . import terms, ops, solver, modeling
+from .solver import CARMASolver, CholeskySolver, LinAlgError
+from . import data, modeling, native, ops, solver, terms
 
 __version__ = "0.1.0"
 __library_version__ = solver.__library_version__
@@ -20,14 +20,17 @@ __library_version__ = solver.__library_version__
 __all__ = [
     "GP",
     "CholeskySolver",
+    "CARMASolver",
     "LinAlgError",
     "Model",
     "ModelSet",
     "ConstantModel",
-    "terms",
+    "data",
+    "modeling",
+    "native",
     "ops",
     "solver",
-    "modeling",
+    "terms",
     "__version__",
     "__library_version__",
 ]

@@ -229,7 +229,8 @@ class GP(ModelSet):
         return float(ll), np.asarray(grad)
 
     # -- pure functional core ------------------------------------------------
-    def build_loglik(self, t, y, yerr=1.123e-12, diag=None):
+    def build_loglik(self, t, y, yerr=1.123e-12, diag=None, solver="auto",
+                     block_size=None):
         """Return a pure jittable ``theta_active -> (ll, ok)`` closure.
 
         ``theta_active`` follows ``get_parameter_vector()`` ordering (kernel
@@ -237,6 +238,10 @@ class GP(ModelSet):
         statically-shaped term lowering so the closure can be jitted,
         vmapped over chains, and differentiated.  General (A, U, V) blocks
         from :meth:`compute` are folded in if present.
+
+        ``solver``: "seq" (sequential scan), "blocked" (block-parallel),
+        "pallas" (fused TPU kernels), or "auto" (seq below 4096 points,
+        blocked above — the sequential scan is latency-bound at large N).
         """
         t = jnp.asarray(np.atleast_1d(t), dtype=jnp.result_type(float))
         y = jnp.asarray(y)
@@ -251,6 +256,25 @@ class GP(ModelSet):
         nk = self.kernel.full_size
         kernel = self.kernel
         mean_fn = _mean_value_fn(self.mean)
+
+        if solver == "auto":
+            solver = "seq" if t.shape[0] < 4096 else "blocked"
+        if solver == "seq":
+            ll_fn = seq.gp_log_likelihood
+        elif solver == "blocked":
+            from .ops import blocked
+
+            ll_fn = lambda ssm, r: blocked.gp_log_likelihood(
+                ssm, r, block_size=block_size
+            )
+        elif solver == "pallas":
+            from .ops import pallas_solver
+
+            ll_fn = lambda ssm, r: pallas_solver.gp_log_likelihood(
+                ssm, r, block_size=block_size or 256
+            )
+        else:
+            raise ValueError("unknown solver '{0}'".format(solver))
 
         has_general = self._A is not None and np.size(self._A) > 0
         A_gen = jnp.asarray(self._A) if has_general else None
@@ -268,17 +292,20 @@ class GP(ModelSet):
             ssm = lower(
                 coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
             )
-            return seq.gp_log_likelihood(ssm, resid)
+            return ll_fn(ssm, resid)
 
         return loglik
 
-    def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None):
+    def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
+                      solver="auto", block_size=None):
         """Pure ``theta -> log posterior`` (ll + prior), -inf-safe.
 
         ``log_prior`` defaults to a traceable box prior built from the
         parameter bounds (the modeling protocol's log_prior semantics).
         """
-        ll_fn = self.build_loglik(t, y, yerr=yerr)
+        ll_fn = self.build_loglik(
+            t, y, yerr=yerr, solver=solver, block_size=block_size
+        )
         if log_prior is None:
             bounds = self.get_parameter_bounds()
             lo = jnp.asarray(

@@ -1,0 +1,13 @@
+"""Inference engine: NUTS/HMC, window adaptation, ADVI, SMC.
+
+The reference delegates MCMC to scipy/emcee user-side
+(docs/tutorials/modeling.rst:227-246); this layer is the new TPU-native
+component demanded by BASELINE.json: gradient-based samplers over the pure
+(ll, ok) log-probability closures from GP.build_logprob, vmapped over chains
+per chip and sharded across the mesh (see celerite_tpu.parallel).
+"""
+
+from . import adaptation, advi, hmc, nuts, smc  # noqa: F401
+from .advi import fit_advi, laplace_fit  # noqa: F401
+from .nuts import sample_nuts  # noqa: F401
+from .smc import sample_smc  # noqa: F401

@@ -1,0 +1,109 @@
+"""Automatic Differentiation Variational Inference (mean-field).
+
+Reparameterized ELBO with a diagonal-Gaussian posterior q(theta) =
+N(mu, diag(exp(2 log_sigma))), optimized with Adam (optax).  Matches
+BASELINE.json configs[3]: ADVI over celerite kernel hyperparameters with a
+Hessian check at the mode available via :func:`laplace_fit`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["ADVIResult", "fit_advi", "laplace_fit"]
+
+
+class ADVIResult(NamedTuple):
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+    elbo_trace: jnp.ndarray
+
+    def sample(self, key, num_samples):
+        eps = jax.random.normal(
+            key, (num_samples, self.mu.shape[0]), self.mu.dtype
+        )
+        return self.mu + self.sigma * eps
+
+
+def fit_advi(
+    logprob_fn,
+    init_params,
+    key,
+    num_steps=2000,
+    num_mc=8,
+    learning_rate=5e-2,
+):
+    """Maximize the ELBO; returns an :class:`ADVIResult`.
+
+    ELBO = E_q[logprob(theta)] + entropy(q); the entropy of a diagonal
+    Gaussian is sum(log sigma) + const, so the reparameterized estimator is
+    mean over eps of logprob(mu + sigma*eps) + sum(log_sigma).
+    """
+    init_params = jnp.asarray(init_params)
+    dim = init_params.shape[0]
+    dtype = init_params.dtype
+
+    def unpack(v):
+        return v[:dim], v[dim:]
+
+    v0 = jnp.concatenate(
+        [init_params, jnp.full((dim,), -2.0, dtype)]
+    )
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(v0)
+
+    def neg_elbo(v, key):
+        mu, log_sigma = unpack(v)
+        eps = jax.random.normal(key, (num_mc, dim), dtype)
+        thetas = mu + jnp.exp(log_sigma) * eps
+        lps = jax.vmap(logprob_fn)(thetas)
+        # -inf log-probs (out of support / non-PD) get clamped so a single
+        # bad draw does not destroy the gradient signal.
+        lps = jnp.where(jnp.isfinite(lps), lps, -1e10)
+        return -(jnp.mean(lps) + jnp.sum(log_sigma))
+
+    @jax.jit
+    def step(carry, key):
+        v, opt_state = carry
+        loss, g = jax.value_and_grad(neg_elbo)(v, key)
+        updates, opt_state = opt.update(g, opt_state)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state), -loss
+
+    keys = jax.random.split(key, num_steps)
+    (v, _), elbo_trace = jax.lax.scan(step, (v0, opt_state), keys)
+    mu, log_sigma = unpack(v)
+    return ADVIResult(mu=mu, sigma=jnp.exp(log_sigma), elbo_trace=elbo_trace)
+
+
+def laplace_fit(logprob_fn, init_params, num_steps=500, learning_rate=1e-2):
+    """MAP + Laplace approximation (Hessian check at the mode).
+
+    Returns (mode, cov) where cov = inverse negative Hessian at the mode —
+    the 'Hessian-checked posterior at mode' of BASELINE.json configs[3].
+    """
+    opt = optax.adam(learning_rate)
+
+    def neg_lp(v):
+        lp = logprob_fn(v)
+        return jnp.where(jnp.isfinite(lp), -lp, 1e10)
+
+    @jax.jit
+    def step(carry, _):
+        v, opt_state = carry
+        loss, g = jax.value_and_grad(neg_lp)(v)
+        updates, opt_state = opt.update(g, opt_state)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state), loss
+
+    v0 = jnp.asarray(init_params)
+    (mode, _), _ = jax.lax.scan(
+        step, (v0, opt.init(v0)), None, length=num_steps
+    )
+    hess = jax.hessian(neg_lp)(mode)
+    cov = jnp.linalg.inv(hess)
+    return mode, cov

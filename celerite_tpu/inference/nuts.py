@@ -1,0 +1,426 @@
+"""The No-U-Turn Sampler, iterative formulation.
+
+A from-scratch implementation of multinomial NUTS (Hoffman & Gelman 2014;
+Betancourt 2017 multinomial weighting; the iterative tree construction of
+Phan & Pradhan 2019) designed for XLA: fixed ``max_tree_depth``, no
+recursion, no dynamic shapes, fully vmap-able over chains.
+
+Within a doubling, the 2^d new leapfrog states stream through a
+``fori_loop``; sub-tree U-turn checks use O(max_depth) checkpoint slots
+addressed by trailing-zero/trailing-one bit counts of the leaf index, so
+every binary sub-tree of the trajectory is checked exactly once, matching
+the recursive algorithm.
+
+All momenta live on one simulated trajectory (backward expansion uses a
+negative step, which yields time-reversed points with their *true*
+momenta), so momentum sums compose across doublings without sign fixups.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts"]
+
+
+class NUTSInfo(NamedTuple):
+    accept_prob: jnp.ndarray  # mean Metropolis accept stat over the tree
+    num_steps: jnp.ndarray  # leapfrog steps taken
+    tree_depth: jnp.ndarray
+    diverging: jnp.ndarray
+    energy: jnp.ndarray  # -H at the accepted point
+
+
+def _popcount(x):
+    return jax.lax.population_count(x)
+
+
+def _trailing_zeros(n):
+    """Trailing zero bits; returns a large value for n == 0."""
+    return _popcount((n & -n) - 1)
+
+
+def _leapfrog(grad_fn, q, p, grad, eps, inv_mass):
+    p = p - 0.5 * eps * grad
+    q = q + eps * inv_mass * p
+    new_grad, logp = grad_fn(q)
+    p = p - 0.5 * eps * new_grad
+    return q, p, new_grad, logp
+
+
+def nuts_kernel(
+    logprob_fn,
+    q,
+    key,
+    step_size,
+    inv_mass,
+    max_tree_depth=10,
+    divergence_threshold=1000.0,
+):
+    """One NUTS transition.  Returns (q_new, NUTSInfo)."""
+    dim = q.shape[0]
+    dtype = q.dtype
+    eps = jnp.asarray(step_size, dtype)
+    inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
+
+    def grad_fn(q):
+        logp, g = jax.value_and_grad(logprob_fn)(q)
+        return -g, logp  # gradient of potential U = -logp
+
+    key, k_mom = jax.random.split(key)
+    p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    grad0, logp0 = grad_fn(q)
+    h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+    def kinetic_vec(psum):
+        return inv_mass * psum
+
+    # Tree state carried across doublings.
+    class _T(NamedTuple):
+        key: jnp.ndarray
+        q_left: jnp.ndarray
+        p_left: jnp.ndarray
+        grad_left: jnp.ndarray
+        q_right: jnp.ndarray
+        p_right: jnp.ndarray
+        grad_right: jnp.ndarray
+        psum: jnp.ndarray
+        q_prop: jnp.ndarray
+        logp_prop: jnp.ndarray
+        log_weight: jnp.ndarray  # log sum of exp(h0 - h) over tree
+        sum_accept: jnp.ndarray
+        num_steps: jnp.ndarray
+        depth: jnp.ndarray
+        turning: jnp.ndarray
+        diverging: jnp.ndarray
+
+    init = _T(
+        key=key,
+        q_left=q, p_left=p0, grad_left=grad0,
+        q_right=q, p_right=p0, grad_right=grad0,
+        psum=p0,
+        q_prop=q, logp_prop=logp0,
+        log_weight=jnp.zeros((), dtype),
+        sum_accept=jnp.zeros((), dtype),
+        num_steps=jnp.zeros((), jnp.int32),
+        depth=jnp.zeros((), jnp.int32),
+        turning=jnp.zeros((), bool),
+        diverging=jnp.zeros((), bool),
+    )
+
+    def build_subtree(key, z0, eps_signed, n_leaves, depth):
+        """Stream n_leaves leapfrog states; returns subtree summary.
+
+        Checkpoint slots implement the iterative U-turn bookkeeping: leaf n
+        opens level-j spans for all j <= tz(n) (storing its state and the
+        pre-leaf momentum prefix), and closes level-j spans for
+        j <= tz(n + 1), at which point that span's U-turn test runs.
+        """
+        q0, p0_, g0 = z0
+        md = max_tree_depth
+
+        class _S(NamedTuple):
+            key: jnp.ndarray
+            q: jnp.ndarray
+            p: jnp.ndarray
+            grad: jnp.ndarray
+            psum: jnp.ndarray
+            ckpt_q: jnp.ndarray  # (md, dim) span-start positions (unused in
+            ckpt_p: jnp.ndarray  # the test but kept for clarity) / momenta
+            ckpt_psum: jnp.ndarray  # (md, dim) momentum prefix before span
+            q_prop: jnp.ndarray
+            logp_prop: jnp.ndarray
+            log_weight: jnp.ndarray
+            sum_accept: jnp.ndarray
+            q_first: jnp.ndarray
+            p_first: jnp.ndarray
+            grad_first: jnp.ndarray
+            turning: jnp.ndarray
+            diverging: jnp.ndarray
+
+        def leaf_step(n, s):
+            qn, pn, gn, logpn = _leapfrog(
+                grad_fn, s.q, s.p, s.grad, eps_signed, inv_mass
+            )
+            h = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
+            delta_h = h - h0
+            diverging = delta_h > divergence_threshold
+            logw = -delta_h
+            accept = jnp.minimum(1.0, jnp.exp(-delta_h))
+
+            # Open spans: store checkpoint at levels 1..tz(n) (level j slot
+            # j-1); leaf 0 opens every level.
+            tz_open = _trailing_zeros(n)
+            lvl = jnp.arange(1, md + 1)
+            open_mask = lvl <= tz_open
+            ckpt_p = jnp.where(open_mask[:, None], pn[None, :], s.ckpt_p)
+            ckpt_q = jnp.where(open_mask[:, None], qn[None, :], s.ckpt_q)
+            ckpt_psum = jnp.where(
+                open_mask[:, None], s.psum[None, :], s.ckpt_psum
+            )
+
+            psum = s.psum + pn
+
+            # Close spans: levels 1..tz(n+1); test U-turn on each.
+            tz_close = _trailing_zeros(n + 1)
+            close_mask = (lvl <= tz_close) & (lvl <= depth)
+            span_psum = psum[None, :] - ckpt_psum  # (md, dim)
+            v = inv_mass[None, :] * span_psum
+            turn_j = (jnp.sum(v * ckpt_p, axis=1) <= 0) | (
+                jnp.sum(v * pn[None, :], axis=1) <= 0
+            )
+            turning = s.turning | jnp.any(turn_j & close_mask)
+
+            # Progressive multinomial proposal within the subtree.
+            new_logw = jnp.logaddexp(s.log_weight, logw)
+            key, sub = jax.random.split(s.key)
+            take = jnp.log(jax.random.uniform(sub, (), dtype)) < (
+                logw - new_logw
+            )
+            take = take & ~diverging
+            q_prop = jnp.where(take, qn, s.q_prop)
+            logp_prop = jnp.where(take, logpn, s.logp_prop)
+
+            is_first = n == 0
+            return _S(
+                key=key,
+                q=qn, p=pn, grad=gn,
+                psum=psum,
+                ckpt_q=ckpt_q, ckpt_p=ckpt_p, ckpt_psum=ckpt_psum,
+                q_prop=q_prop, logp_prop=logp_prop,
+                log_weight=new_logw,
+                sum_accept=s.sum_accept + accept,
+                q_first=jnp.where(is_first, qn, s.q_first),
+                p_first=jnp.where(is_first, pn, s.p_first),
+                grad_first=jnp.where(is_first, gn, s.grad_first),
+                turning=turning,
+                diverging=s.diverging | diverging,
+            )
+
+        def guarded(n, s):
+            return lax.cond(
+                s.turning | s.diverging, lambda _: s, lambda _: leaf_step(n, s), None
+            )
+
+        zeros = jnp.zeros((md, dim), dtype)
+        s0 = _S(
+            key=key,
+            q=q0, p=p0_, grad=g0,
+            psum=jnp.zeros((dim,), dtype),
+            ckpt_q=zeros, ckpt_p=zeros, ckpt_psum=zeros,
+            q_prop=q0, logp_prop=jnp.array(-jnp.inf, dtype),
+            log_weight=jnp.array(-jnp.inf, dtype),
+            sum_accept=jnp.zeros((), dtype),
+            q_first=q0, p_first=p0_, grad_first=g0,
+            turning=jnp.zeros((), bool),
+            diverging=jnp.zeros((), bool),
+        )
+        s = lax.fori_loop(0, n_leaves, guarded, s0)
+        return s
+
+    def doubling(t: _T):
+        key, k_dir, k_sub, k_acc = jax.random.split(t.key, 4)
+        go_right = jax.random.bernoulli(k_dir, 0.5)
+        z0 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(go_right, a, b),
+            (t.q_right, t.p_right, t.grad_right),
+            (t.q_left, t.p_left, t.grad_left),
+        )
+        n_leaves = jnp.left_shift(1, t.depth)
+        eps_signed = jnp.where(go_right, eps, -eps)
+        s = build_subtree(k_sub, z0, eps_signed, n_leaves, t.depth)
+
+        ok = ~(s.turning | s.diverging)
+
+        # New endpoint on the expanded side.
+        q_right = jnp.where(go_right & ok, s.q, t.q_right)
+        p_right = jnp.where(go_right & ok, s.p, t.p_right)
+        g_right = jnp.where(go_right & ok, s.grad, t.grad_right)
+        q_left = jnp.where(~go_right & ok, s.q, t.q_left)
+        p_left = jnp.where(~go_right & ok, s.p, t.p_left)
+        g_left = jnp.where(~go_right & ok, s.grad, t.grad_left)
+
+        psum = t.psum + s.psum
+
+        # Biased progressive sampling between old tree and new subtree.
+        take_new = jnp.log(jax.random.uniform(k_acc, (), dtype)) < (
+            s.log_weight - t.log_weight
+        )
+        take_new = take_new & ok
+        q_prop = jnp.where(take_new, s.q_prop, t.q_prop)
+        logp_prop = jnp.where(take_new, s.logp_prop, t.logp_prop)
+        log_weight = jnp.logaddexp(t.log_weight, s.log_weight)
+
+        # Top-level U-turn across the merged trajectory.
+        v = inv_mass * psum
+        turning_top = (jnp.sum(v * p_left) <= 0) | (
+            jnp.sum(v * p_right) <= 0
+        )
+        turning = s.turning | (ok & turning_top)
+
+        return _T(
+            key=key,
+            q_left=q_left, p_left=p_left, grad_left=g_left,
+            q_right=q_right, p_right=p_right, grad_right=g_right,
+            psum=psum,
+            q_prop=q_prop, logp_prop=logp_prop,
+            log_weight=log_weight,
+            sum_accept=t.sum_accept + s.sum_accept,
+            num_steps=t.num_steps + n_leaves,
+            depth=t.depth + 1,
+            turning=turning,
+            diverging=t.diverging | s.diverging,
+        )
+
+    def cond(t: _T):
+        return (
+            (t.depth < max_tree_depth) & ~t.turning & ~t.diverging
+        )
+
+    out = lax.while_loop(cond, doubling, init)
+
+    accept_prob = out.sum_accept / jnp.maximum(
+        out.num_steps.astype(dtype), 1.0
+    )
+    info = NUTSInfo(
+        accept_prob=accept_prob,
+        num_steps=out.num_steps,
+        tree_depth=out.depth,
+        diverging=out.diverging,
+        energy=out.logp_prop,
+    )
+    return out.q_prop, info
+
+
+def sample_nuts(
+    logprob_fn,
+    init_params,
+    key,
+    num_warmup=500,
+    num_samples=500,
+    max_tree_depth=10,
+    target_accept=0.8,
+    initial_step_size=0.1,
+    thin=1,
+    axis_name=None,
+):
+    """Vmapped multi-chain NUTS with cross-chain window adaptation.
+
+    ``init_params``: (n_chains, dim).  Returns (samples, info_dict) where
+    samples has shape (n_chains, num_samples // thin, dim).
+
+    Adaptation (Stan-style): dual-averaged step size targeting
+    ``target_accept``, diagonal mass matrix from cross-chain Welford
+    variance in doubling windows.  Statistics pool over ALL chains each
+    iteration — cross-chain adaptation converges faster than per-chain and
+    is what makes the sharded version's psum collectives worthwhile.
+
+    ``axis_name``: when running inside shard_map with chains sharded over
+    a mesh axis, pass that axis name so adaptation statistics psum across
+    devices (see parallel.sharded.sample_nuts_sharded).
+    """
+    from .adaptation import (
+        DualAveragingState,
+        WelfordState,
+        da_init,
+        da_update,
+        da_final,
+        welford_init,
+        welford_update,
+        welford_variance,
+        window_boundaries,
+    )
+
+    init_params = jnp.atleast_2d(init_params)
+    n_chains, dim = init_params.shape
+    dtype = init_params.dtype
+
+    kernel = lambda q, k, eps, im: nuts_kernel(
+        logprob_fn, q, k, eps, im, max_tree_depth=max_tree_depth
+    )
+    vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+
+    is_mass_window, is_window_end = window_boundaries(num_warmup)
+
+    def pooled_mean(x):
+        m = jnp.mean(x)
+        if axis_name is not None:
+            m = lax.pmean(m, axis_name)
+        return m
+
+    def pooled_sum(x):
+        s = jnp.sum(x)
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        return s
+
+    def warmup_step(carry, inp):
+        qs, da, wf, inv_mass = carry
+        key, mass_win, win_end = inp
+        keys = jax.random.split(key, n_chains)
+        qs, info = vkernel(qs, keys, jnp.exp(da.log_step), inv_mass)
+        # Cross-chain pooled accept statistic drives one shared step size.
+        da = da_update(da, pooled_mean(info.accept_prob))
+        wf = jax.lax.cond(
+            mass_win,
+            lambda w: welford_update(w, qs, axis_name=axis_name),
+            lambda w: w,
+            wf,
+        )
+
+        def close_window(args):
+            da, wf, inv_mass = args
+            new_inv_mass = welford_variance(wf)
+            new_inv_mass = jnp.where(
+                jnp.isfinite(new_inv_mass) & (new_inv_mass > 0),
+                new_inv_mass,
+                inv_mass,
+            )
+            return (
+                da_init(jnp.exp(da.log_step), target_accept),
+                welford_init(dim, dtype),
+                new_inv_mass,
+            )
+
+        da, wf, inv_mass = jax.lax.cond(
+            win_end, close_window, lambda a: a, (da, wf, inv_mass)
+        )
+        return (qs, da, wf, inv_mass), info.accept_prob
+
+    key, k_warm = jax.random.split(key)
+    da0 = da_init(jnp.asarray(initial_step_size, dtype), target_accept)
+    wf0 = welford_init(dim, dtype)
+    carry = (init_params, da0, wf0, jnp.ones((dim,), dtype))
+    warm_keys = jax.random.split(k_warm, num_warmup)
+    (qs, da, wf, inv_mass), _ = lax.scan(
+        warmup_step,
+        carry,
+        (warm_keys, is_mass_window, is_window_end),
+    )
+    step_size = da_final(da)
+
+    def sample_step(carry, key):
+        qs = carry
+        keys = jax.random.split(key, n_chains)
+        qs, info = vkernel(qs, keys, step_size, inv_mass)
+        return qs, (qs, info.accept_prob, info.diverging, info.num_steps)
+
+    key, k_samp = jax.random.split(key)
+    samp_keys = jax.random.split(k_samp, num_samples)
+    _, (chain, accept, div, steps) = lax.scan(
+        sample_step, qs, samp_keys
+    )
+    # (num_samples, n_chains, dim) -> (n_chains, num_samples, dim)
+    chain = jnp.swapaxes(chain, 0, 1)[:, ::thin]
+    info = {
+        "step_size": step_size,
+        "inv_mass": inv_mass,
+        "accept_prob": pooled_mean(accept),
+        "divergences": pooled_sum(div),
+        "num_steps": pooled_sum(steps),
+    }
+    return chain, info

@@ -12,7 +12,7 @@ Layout (each module documents the reference component it replaces):
 - ``carma``: CARMA Kalman filter + conversion (carma.h analog)
 """
 
-from . import dense, kernels, lower, seq  # noqa: F401
+from . import blocked, carma, dense, kernels, lower, poly, seq  # noqa: F401
 
 
 def best_ll(ssm, resid):

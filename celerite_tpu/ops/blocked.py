@@ -57,7 +57,16 @@ __all__ = [
     "factor",
     "solve_lower",
     "default_block_size",
+    "apply_elem",
 ]
+
+
+def apply_elem(elem, S):
+    """Apply a Riccati (A, J, C) element to a state: A S (I+JS)^-1 A^T + C."""
+    A, J, C = elem
+    p = A.shape[-1]
+    eye = jnp.eye(p, dtype=A.dtype)
+    return A @ S @ jnp.linalg.inv(eye + J @ S) @ jnp.swapaxes(A, -1, -2) + C
 
 
 def default_block_size(n):
@@ -121,11 +130,29 @@ def _compose_full(e1, e2):
 
 
 def _block_elements(blk: SSM):
-    """Per-block cumulative (A, J, C) elements via rank-one compositions.
+    """Per-block cumulative (A, J, C) elements, trajectory ("closed-loop")
+    formulation.
 
     vmapped over the block axis; the scan is over the L within-block steps.
-    Cost per step is O(P^2) thanks to the rank-1 structure of each step's
-    J and the rank-1 correction in each step's A.
+    Cost per step is O(P^2) via rank-1 structure.
+
+    Numerical design (important): a naive composition chain for the
+    elements is exponentially unstable in f32 — the cumulative A is the
+    *open-loop* influence operator, whose true decay happens through
+    cancellation, so roundoff injected mid-chain grows.  Instead:
+
+    - C is carried by the plain zero-seeded factor recursion
+      (S-hat = Phi S-hat Phi + d w w^T), which is self-stabilizing — the
+      same recursion the sequential solver runs;
+    - A is accumulated as a product of per-step *closed-loop* transitions
+      F_n = (I - v u^T/a)(Phi + (S u) u~^T / d) — the Jacobian of the
+      composed map along the zero-seeded trajectory — which contract
+      multiplicatively;
+    - J is a sum of stable rank-1 terms -(A_prev^T u~)(.)^T / d.
+
+    These are algebraically identical to composing per-step (A, J, C)
+    elements (the map class is closed), but each carried quantity is
+    computed through a numerically self-correcting recursion.
     """
     p = blk.U.shape[-1]
     dtype = blk.U.dtype
@@ -133,34 +160,26 @@ def _block_elements(blk: SSM):
 
     def one_block(U, V, phi, A):
         def step(carry, inp):
-            Ac, Jc, Cc = carry
+            Ac, Jc, Sh = carry
             u, v, ph, a = inp
-            ut = ph * u  # Phi_n U_n
-            # E = (I - Cc ut ut^T / a)^{-1} = I + (Cc ut) ut^T / denom
-            x = Cc @ ut
-            denom = a - ut @ x
-            # E @ Ac and E @ Cc as rank-1 updates.
-            EAc = Ac + jnp.outer(x, (ut @ Ac)) / denom
-            ECc = Cc + jnp.outer(x, (ut @ Cc)) / denom
-            # A_step @ M = (I - v u^T / a) (Phi M)
-            PhEAc = ph[:, None] * EAc
-            Anew = PhEAc - jnp.outer(v, (u @ PhEAc)) / a
-            # A_step @ X @ A_step^T with X = ECc (X is NOT symmetric):
-            # (I - v u^T/a) Z (I - u v^T/a)
-            #   = Z - v (u^T Z)/a - (Z u) v^T/a + v v^T (u^T Z u)/a^2
-            Z = ph[:, None] * ECc * ph[None, :]
-            uZ = u @ Z
-            Zu = Z @ u
-            Cnew = (
-                Z
-                - jnp.outer(v, uZ) / a
-                - jnp.outer(Zu, v) / a
-                + jnp.outer(v, v) * ((uZ @ u) / (a * a))
-            ) + jnp.outer(v, v) / a
-            # J_step @ E = -ut ut^T / denom  (exact simplification)
-            w = Ac.T @ ut
-            Jnew = Jc - jnp.outer(w, w) / denom
-            return (Anew, Jnew, Cnew), None
+            # Stable factor recursion: C carry is the zero-seeded S-hat.
+            S = (ph[:, None] * ph[None, :]) * Sh
+            su = S @ u
+            d = a - u @ su
+            w = (v - su) / d
+            Sh_new = S + d * jnp.outer(w, w)
+
+            # Closed-loop transition F = (I - v u^T/a)(Phi + su ut^T/d).
+            ut = ph * u
+            G = jnp.diag(ph) + jnp.outer(su, ut) / d
+            F = G - jnp.outer(v, u @ G) / a
+            Anew = F @ Ac
+
+            # Information accumulation: J -= (Ac^T ut)(Ac^T ut)^T / d.
+            x = Ac.T @ ut
+            Jnew = Jc - jnp.outer(x, x) / d
+
+            return (Anew, Jnew, Sh_new), None
 
         init = (eye, jnp.zeros((p, p), dtype), jnp.zeros((p, p), dtype))
         (Ab, Jb, Cb), _ = lax.scan(step, init, (U, V, phi, A))

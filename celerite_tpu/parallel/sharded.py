@@ -1,0 +1,283 @@
+"""N-axis-sharded solver and mesh-sharded samplers.
+
+Two orthogonal shardings, composable on a 2-D mesh:
+
+1. **Data (N-axis) sharding** — ``sharded_gp_log_likelihood``: the time
+   axis is split over the ``"data"`` mesh axis.  Each device runs the
+   block-parallel solver (ops.blocked) on its shard; the only cross-device
+   coupling is the P-dimensional boundary state, exchanged as composed
+   Riccati/affine elements via ``all_gather`` (bytes per device, riding
+   ICI), then the scalar reductions psum.  This is the celerite analog of
+   sequence parallelism: the "ring attention" state here is a (P, P)
+   matrix, so communication is negligible by construction (SURVEY.md 5.7).
+
+2. **Chain sharding** — ``sample_nuts_sharded``: chains are vmapped per
+   device and sharded over the ``"chains"`` axis; dual-averaging and mass
+   adaptation pool statistics across ALL chains with psum (the adaptation
+   collectives are tiny scalars/vectors, off the leapfrog critical path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import blocked
+from ..ops.lower import SSM
+
+__all__ = [
+    "make_data_mesh",
+    "sharded_gp_log_likelihood",
+    "sample_nuts_sharded",
+]
+
+DATA_AXIS = "data"
+CHAIN_AXIS = "chains"
+
+
+def make_data_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def _device_prefix_elem(local_elem, axis_name):
+    """Exclusive prefix of composed (A,J,C) elements over the device axis.
+
+    all_gather the per-device totals (tiny), then fold locally; device i
+    keeps the composition of devices 0..i-1.
+    """
+    gathered = jax.tree_util.tree_map(
+        lambda x: lax.all_gather(x, axis_name), local_elem
+    )
+    idx = lax.axis_index(axis_name)
+    p = local_elem[0].shape[-1]
+    dtype = local_elem[0].dtype
+    eye = jnp.eye(p, dtype=dtype)
+    ident = (eye, jnp.zeros((p, p), dtype), jnp.zeros((p, p), dtype))
+    n_dev = lax.axis_size(axis_name)
+
+    def fold(i, acc):
+        elem_i = jax.tree_util.tree_map(lambda x: x[i], gathered)
+        combined = blocked._compose_full(acc, elem_i)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(i < idx, b, a), acc, combined
+        )
+
+    return lax.fori_loop(0, n_dev, fold, ident)
+
+
+def _device_prefix_affine(Mloc, mloc, axis_name):
+    Mg = lax.all_gather(Mloc, axis_name)
+    mg = lax.all_gather(mloc, axis_name)
+    idx = lax.axis_index(axis_name)
+    p = Mloc.shape[-1]
+    ident = (jnp.eye(p, dtype=Mloc.dtype), jnp.zeros((p,), Mloc.dtype))
+    n_dev = lax.axis_size(axis_name)
+
+    def fold(i, acc):
+        Ma, ma = acc
+        comb = (Mg[i] @ Ma, Mg[i] @ ma + mg[i])
+        keep = i < idx
+        return (
+            jnp.where(keep, comb[0], Ma),
+            jnp.where(keep, comb[1], ma),
+        )
+
+    return lax.fori_loop(0, n_dev, fold, ident)
+
+
+def sharded_gp_log_likelihood(ssm: SSM, resid, mesh, block_size=None):
+    """GP log-likelihood with the N axis sharded over ``mesh``.
+
+    Each device: (pass 1) composes its local Riccati elements, exchanges
+    per-device totals (3 P x P matrices) to seed the factor; (pass 2)
+    factors its shard and builds affine solve maps, exchanges per-device
+    affine totals (P x P + P) to seed the substitution; (pass 3) reduces
+    quad/logdet partials, combined with one psum.  Inputs are padded to a
+    multiple of (n_devices * block_size) with inert rows.
+
+    Returns (ll, ok) replicated on every device.
+    """
+    n, p = ssm.U.shape
+    n_dev = mesh.devices.size
+    L = block_size or blocked.default_block_size(max(1, n // n_dev))
+    if n % (n_dev * L):
+        pad = n_dev * L - (n % (n_dev * L))
+        zU = jnp.zeros((pad, p), ssm.U.dtype)
+        ssm = SSM(
+            U=jnp.concatenate([ssm.U, zU]),
+            V=jnp.concatenate([ssm.V, zU]),
+            phi=jnp.concatenate([ssm.phi, jnp.ones((pad, p), ssm.U.dtype)]),
+            A=jnp.concatenate([ssm.A, jnp.ones((pad,), ssm.A.dtype)]),
+        )
+        resid = jnp.concatenate([resid, jnp.zeros((pad,), resid.dtype)])
+
+    def local(U, V, phi, A, y):
+        n_loc = U.shape[0]
+        b = n_loc // L
+        blk = SSM(
+            U=U.reshape(b, L, p),
+            V=V.reshape(b, L, p),
+            phi=phi.reshape(b, L, p),
+            A=A.reshape(b, L),
+        )
+        y_blk = y.reshape(b, L)
+        dtype = U.dtype
+
+        # Pass 1: local elements; cross-device exchange of composed totals.
+        elems = blocked._block_elements(blk)
+        incl = lax.associative_scan(blocked._compose_full, elems, axis=0)
+        local_total = jax.tree_util.tree_map(lambda x: x[-1], incl)
+        dev_pref = _device_prefix_elem(local_total, DATA_AXIS)
+        S_hat_dev = dev_pref[2]  # prefix map applied to the zero state
+
+        # Local exclusive prefix, seeded by the device's incoming state.
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=dtype), (1, p, p))
+        zero = jnp.zeros((1, p, p), dtype)
+        excl = tuple(
+            jnp.concatenate([init, x[:-1]], axis=0)
+            for init, x in zip((eye, zero, zero), incl)
+        )
+        S_hat_in = jax.vmap(
+            lambda a, j, c: blocked.apply_elem((a, j, c), S_hat_dev)
+        )(*excl)
+
+        # Pass 2: factor + affine solve maps, once.
+        def pass2(U, V, phi, A, y, Sh):
+            def step(carry, inp):
+                Sh, Mc, mc = carry
+                u, v, ph, a, yn = inp
+                S = (ph[:, None] * ph[None, :]) * Sh
+                su = S @ u
+                d = a - u @ su
+                w = (v - su) / d
+                Sh = S + d * jnp.outer(w, w)
+                PhM = ph[:, None] * Mc
+                Mc = PhM - jnp.outer(w, u @ PhM)
+                mh = ph * mc
+                mc = mh - w * (u @ mh) + w * yn
+                return (Sh, Mc, mc), (d, w)
+
+            init = (
+                Sh, jnp.eye(p, dtype=dtype), jnp.zeros((p,), dtype)
+            )
+            (_, Mb, mb), (D, W) = lax.scan(
+                step, init, (U, V, phi, A, y)
+            )
+            return D, W, Mb, mb
+
+        D, W, M, m = jax.vmap(pass2)(
+            blk.U, blk.V, blk.phi, blk.A, y_blk, S_hat_in
+        )
+
+        # Cross-device affine exchange, then local prefix seeded with it.
+        Mp, mp = blocked._exclusive_prefix_affine(M, m)
+        M_tot = M[-1] @ Mp[-1]
+        m_tot = M[-1] @ mp[-1] + m[-1]
+        _, h_dev = _device_prefix_affine(M_tot, m_tot, DATA_AXIS)
+        h_in = jnp.einsum("bij,j->bi", Mp, h_dev) + mp
+
+        # Pass 3: substitution + reductions.
+        def pass3(U, phi, W, y, D, h):
+            def step(carry, inp):
+                h, quad, logdet, min_d = carry
+                u, ph, w, yn, d = inp
+                f = ph * h
+                z = yn - u @ f
+                h = f + w * z
+                return (
+                    h,
+                    quad + z * z / d,
+                    logdet + jnp.log(d),
+                    jnp.minimum(min_d, d),
+                ), None
+
+            init = (
+                h,
+                jnp.zeros((), dtype),
+                jnp.zeros((), dtype),
+                jnp.array(jnp.inf, dtype),
+            )
+            (h, quad, logdet, min_d), _ = lax.scan(
+                step, init, (U, phi, W, y, D)
+            )
+            return quad, logdet, min_d
+
+        quad, logdet, min_d = jax.vmap(pass3)(
+            blk.U, blk.phi, W, y_blk, D, h_in
+        )
+
+        quad_g = lax.psum(jnp.sum(quad), DATA_AXIS)
+        logdet_g = lax.psum(jnp.sum(logdet), DATA_AXIS)
+        # pmin has no AD rule; reduce a (stop-gradient) bad-pivot count.
+        bad = jnp.sum(jnp.where(jnp.min(min_d) <= 0, 1.0, 0.0))
+        bad_g = lax.psum(lax.stop_gradient(bad), DATA_AXIS)
+        ll = -0.5 * (
+            quad_g + logdet_g + n * jnp.log(2.0 * jnp.pi).astype(dtype)
+        )
+        ok = (bad_g == 0) & jnp.isfinite(ll)
+        return jnp.where(ok, ll, -jnp.inf), ok
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(ssm.U, ssm.V, ssm.phi, ssm.A, resid)
+
+
+def sample_nuts_sharded(
+    logprob_fn,
+    init_params,
+    key,
+    mesh=None,
+    **kwargs,
+):
+    """Multi-chain NUTS with chains sharded over a 1-D mesh.
+
+    Same semantics as inference.sample_nuts; adaptation statistics pool
+    across ALL chains via psum on the ``chains`` axis.  ``init_params``
+    must have its leading (chain) dimension divisible by the mesh size.
+    """
+    from ..inference.nuts import sample_nuts
+
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+
+    n_chains = init_params.shape[0]
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(
+            "number of chains must be divisible by the mesh size"
+        )
+
+    def local(thetas, key):
+        # Decorrelate per-device RNG streams.
+        key = jax.random.fold_in(key, lax.axis_index(CHAIN_AXIS))
+        return sample_nuts(
+            logprob_fn, thetas, key, axis_name=CHAIN_AXIS, **kwargs
+        )
+
+    mesh1 = Mesh(mesh.devices.reshape(-1), (CHAIN_AXIS,))
+    fn = jax.shard_map(
+        local,
+        mesh=mesh1,
+        in_specs=(P(CHAIN_AXIS), P()),
+        out_specs=(P(CHAIN_AXIS), P()),
+        check_vma=False,
+    )
+    return fn(init_params, key)

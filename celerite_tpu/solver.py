@@ -20,11 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from .ops import dense, kernels, seq
+from .ops.carma import CARMASolver  # noqa: F401  (parity re-export)
 from .ops.lower import Coefficients, lower
 from .ops.poly import check_coefficients as _check_coefficients
 
 __all__ = [
     "CholeskySolver",
+    "CARMASolver",
     "LinAlgError",
     "get_kernel_value",
     "get_psd_value",

@@ -1,0 +1,205 @@
+"""Sampler validation: analytic targets + GP posterior recovery.
+
+Pattern per SURVEY.md section 4.3: posterior-moment checks within MC error
+(no reference precedent — the reference delegates MCMC to emcee).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celerite_tpu import GP, terms
+from celerite_tpu.inference import (
+    fit_advi,
+    laplace_fit,
+    sample_nuts,
+    sample_smc,
+)
+from celerite_tpu.inference.hmc import hmc_kernel
+
+
+COV = np.array([[2.0, 1.2], [1.2, 1.5]])
+MU = np.array([1.0, -2.0])
+PREC = np.linalg.inv(COV)
+
+
+def gauss_logprob(x):
+    d = x - jnp.asarray(MU)
+    return -0.5 * d @ jnp.asarray(PREC) @ d
+
+
+def test_nuts_gaussian_moments():
+    init = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2))
+    )
+    chain, info = sample_nuts(
+        gauss_logprob,
+        init,
+        jax.random.PRNGKey(0),
+        num_warmup=400,
+        num_samples=600,
+    )
+    s = np.asarray(chain).reshape(-1, 2)
+    se = np.sqrt(np.diag(COV) / (len(s) / 10))  # ~conservative MC error
+    np.testing.assert_allclose(s.mean(0), MU, atol=float(4 * se.max()))
+    np.testing.assert_allclose(
+        np.cov(s.T), COV, rtol=0.25, atol=0.15
+    )
+    assert float(info["divergences"]) == 0
+    assert 0.6 < float(info["accept_prob"]) < 0.99
+
+
+def test_hmc_gaussian_moments():
+    key = jax.random.PRNGKey(1)
+
+    def run_chain(q0, key):
+        def step(carry, k):
+            q = carry
+            q, info = hmc_kernel(
+                gauss_logprob, q, k, 0.5, jnp.ones(2), num_leapfrog=8
+            )
+            return q, q
+
+        _, qs = jax.lax.scan(step, q0, jax.random.split(key, 800))
+        return qs
+
+    q0s = jnp.asarray(np.random.default_rng(1).standard_normal((4, 2)))
+    qs = jax.vmap(run_chain)(q0s, jax.random.split(key, 4))
+    s = np.asarray(qs[:, 200:]).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), MU, atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), COV, rtol=0.3, atol=0.2)
+
+
+def test_advi_gaussian():
+    res = fit_advi(
+        gauss_logprob,
+        jnp.zeros(2),
+        jax.random.PRNGKey(2),
+        num_steps=1500,
+        num_mc=8,
+        learning_rate=5e-2,
+    )
+    np.testing.assert_allclose(np.asarray(res.mu), MU, atol=0.15)
+    # mean-field sigma ~ 1/sqrt(diag(precision))
+    target = 1.0 / np.sqrt(np.diag(PREC))
+    np.testing.assert_allclose(np.asarray(res.sigma), target, rtol=0.25)
+    # ELBO should have improved substantially
+    elbo = np.asarray(res.elbo_trace)
+    assert elbo[-100:].mean() > elbo[:100].mean()
+
+
+def test_laplace_gaussian():
+    mode, cov = laplace_fit(
+        gauss_logprob, jnp.zeros(2), num_steps=3000, learning_rate=5e-2
+    )
+    np.testing.assert_allclose(np.asarray(mode), MU, atol=0.05)
+    np.testing.assert_allclose(np.asarray(cov), COV, rtol=0.05, atol=0.05)
+
+
+def test_smc_gaussian():
+    rng = np.random.default_rng(3)
+    init = jnp.asarray(rng.standard_normal((512, 2)) * 3.0)
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x**2) / 25.0  # wide prior
+
+    res = sample_smc(
+        log_prior,
+        gauss_logprob,
+        init,
+        jax.random.PRNGKey(3),
+        num_mutations=4,
+        hmc_step_size=0.5,
+    )
+    s = np.asarray(res.particles)
+    np.testing.assert_allclose(s.mean(0), MU, atol=0.35)
+    assert int(res.num_stages) >= 1
+
+
+def test_smc_bimodal():
+    """SMC must populate both modes of a well-separated mixture."""
+    rng = np.random.default_rng(4)
+    init = jnp.asarray(rng.standard_normal((1024, 1)) * 6.0)
+    centers = jnp.asarray([-4.0, 4.0])
+
+    def log_like(x):
+        return jax.nn.logsumexp(-0.5 * (x[0] - centers) ** 2 / 0.25)
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x**2) / 36.0
+
+    res = sample_smc(
+        log_prior,
+        log_like,
+        init,
+        jax.random.PRNGKey(4),
+        num_mutations=5,
+        hmc_step_size=0.3,
+    )
+    s = np.asarray(res.particles)[:, 0]
+    frac_left = np.mean(s < 0)
+    assert 0.2 < frac_left < 0.8  # both modes survive
+
+
+def test_nuts_gp_posterior_recovery():
+    """configs[0]-style: RealTerm GP hyperparameter fit on simulated data.
+
+    The NUTS posterior must cover the true parameters and its moments must
+    agree with a Laplace approximation of the same (exact, oracle-verified)
+    log-posterior within MC error.
+    """
+    rng = np.random.default_rng(42)
+    n = 128
+    t = np.sort(rng.uniform(0, 20, n))
+    yerr = np.full(n, 0.3)
+    ktrue = terms.RealTerm(log_a=0.5, log_c=-0.5)
+    gp_sim = GP(ktrue)
+    gp_sim.compute(t, yerr)
+    y = gp_sim.sample(seed=7)
+
+    gp = GP(terms.RealTerm(log_a=0.0, log_c=0.0))
+    gp.compute(t, yerr)
+
+    # Smooth Gaussian prior: the RealTerm posterior has a long ridge and a
+    # hard -inf box wall would (correctly) register as divergences when the
+    # ridge reaches it; a smooth prior keeps the geometry NUTS-friendly.
+    def log_prior(theta):
+        return -0.5 * jnp.sum((theta / 2.0) ** 2)
+
+    logprob = gp.build_logprob(t, y, yerr=yerr, log_prior=log_prior)
+
+    init = jnp.asarray(
+        gp.get_parameter_vector()[None, :]
+        + 0.1 * rng.standard_normal((4, 2))
+    )
+    chain, info = sample_nuts(
+        logprob,
+        init,
+        jax.random.PRNGKey(5),
+        num_warmup=300,
+        num_samples=300,
+        max_tree_depth=8,
+        target_accept=0.9,
+    )
+    s = np.asarray(chain).reshape(-1, 2)
+    # The log_a/log_c posterior has steep cliffs toward the prior box; a
+    # small residual divergence rate is geometry, not a sampler bug.
+    assert float(info["divergences"]) < 0.02 * s.shape[0]
+
+    mode, cov = laplace_fit(
+        logprob, jnp.asarray([0.3, -0.3]), num_steps=2000,
+        learning_rate=2e-2,
+    )
+    # Posterior mean agrees with the Laplace mode within a few SDs of the
+    # Laplace covariance (the posterior is mildly skewed).
+    sd = np.sqrt(np.diag(np.asarray(cov)))
+    np.testing.assert_allclose(
+        s.mean(0), np.asarray(mode), atol=float(3 * sd.max())
+    )
+    np.testing.assert_allclose(
+        s.std(0), sd, rtol=0.5
+    )
+    # True parameters are inside the 4-sigma posterior box.
+    assert np.all(np.abs(s.mean(0) - [0.5, -0.5]) < 4 * s.std(0))

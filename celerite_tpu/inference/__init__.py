@@ -7,7 +7,16 @@ component demanded by BASELINE.json: gradient-based samplers over the pure
 per chip and sharded across the mesh (see celerite_tpu.parallel).
 """
 
-from . import adaptation, advi, hmc, nuts, smc  # noqa: F401
+from . import (  # noqa: F401
+    adaptation,
+    advi,
+    checkpoint,
+    diagnostics,
+    hmc,
+    nuts,
+    smc,
+)
 from .advi import fit_advi, laplace_fit  # noqa: F401
+from .diagnostics import effective_sample_size, split_rhat, summary  # noqa: F401
 from .nuts import sample_nuts  # noqa: F401
 from .smc import sample_smc  # noqa: F401

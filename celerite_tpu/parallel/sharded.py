@@ -35,6 +35,7 @@ __all__ = [
     "make_data_mesh",
     "sharded_gp_log_likelihood",
     "sample_nuts_sharded",
+    "sample_smc_sharded",
 ]
 
 DATA_AXIS = "data"
@@ -281,3 +282,178 @@ def sample_nuts_sharded(
         check_vma=False,
     )
     return fn(init_params, key)
+
+
+def sample_smc_sharded(
+    log_prior_fn,
+    log_like_fn,
+    init_particles,
+    key,
+    mesh=None,
+    num_mutations=5,
+    hmc_step_size=0.1,
+    num_leapfrog=8,
+    target_ess_frac=0.5,
+    max_stages=50,
+):
+    """Adaptive-tempering SMC with particles sharded over the mesh.
+
+    Same algorithm as inference.sample_smc; the cross-particle operations
+    become collectives on the particle axis:
+
+    - the adaptive next-temperature search uses psum'd log-weight moments
+      (every device runs the identical bisection on pooled statistics);
+    - resampling is *global* systematic resampling: log-weights are
+      all_gather'd (bytes), the index vector is computed identically on
+      every device, and the particle exchange is an all_gather of the
+      (n, dim) particle block over ICI — the celerite state is tiny, so
+      this is the bandwidth-cheap variant (SURVEY.md 5.8).
+
+    Returns an inference.smc.SMCResult with particles sharded back out.
+    """
+    from ..inference.hmc import hmc_kernel
+    from ..inference.smc import SMCResult
+
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+    mesh1 = Mesh(mesh.devices.reshape(-1), (CHAIN_AXIS,))
+
+    n_total, dim = init_particles.shape
+    n_dev = mesh1.devices.size
+    if n_total % n_dev:
+        raise ValueError(
+            "number of particles must be divisible by the mesh size"
+        )
+
+    def local(particles, key):
+        dtype = particles.dtype
+        n_loc = particles.shape[0]
+        key = jax.random.fold_in(key, 0)  # same stream on every device
+        vlike = jax.vmap(log_like_fn)
+
+        def safe(x):
+            return jnp.where(jnp.isfinite(x), x, -1e12)
+
+        def global_logsumexp(lw):
+            m_loc = jnp.max(lw)
+            m = lax.pmax(m_loc, CHAIN_AXIS)
+            s = lax.psum(jnp.sum(jnp.exp(lw - m)), CHAIN_AXIS)
+            return m + jnp.log(s)
+
+        def ess(lw):
+            l1 = global_logsumexp(lw)
+            l2 = global_logsumexp(2.0 * lw)
+            return jnp.exp(2.0 * l1 - l2)
+
+        def next_beta(ll, beta):
+            target = target_ess_frac * n_total
+
+            def body(_, bounds):
+                lo, hi = bounds
+                mid = 0.5 * (lo + hi)
+                ok = ess((mid - beta) * ll) >= target
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+            lo, hi = lax.fori_loop(
+                0, 30, body, (beta, jnp.ones((), dtype))
+            )
+            full = ess((1.0 - beta) * ll) >= target
+            return jnp.where(full, 1.0, lo)
+
+        def mutate(particles, key, beta, step_size):
+            def tempered(theta):
+                lp = log_prior_fn(theta) + beta * log_like_fn(theta)
+                return jnp.where(jnp.isfinite(lp), lp, -1e12)
+
+            def one(p, k):
+                def body(carry, kk):
+                    q, acc = carry
+                    q, info = hmc_kernel(
+                        tempered, q, kk, step_size,
+                        jnp.ones((dim,), dtype),
+                        num_leapfrog=num_leapfrog,
+                    )
+                    return (q, acc + info.accept_prob), None
+
+                (q, acc), _ = lax.scan(
+                    body,
+                    (p, jnp.zeros((), dtype)),
+                    jax.random.split(k, num_mutations),
+                )
+                return q, acc / num_mutations
+
+            my = lax.axis_index(CHAIN_AXIS)
+            keys = jax.random.split(
+                jax.random.fold_in(key, my), n_loc
+            )
+            return jax.vmap(one)(particles, keys)
+
+        def stage(state):
+            key, particles, beta, log_z, k_stage, accept, step = state
+            key, k_res, k_mut = jax.random.split(key, 3)
+            ll = safe(vlike(particles))
+            beta_new = next_beta(ll, beta)
+            lw = (beta_new - beta) * ll
+            log_z = log_z + global_logsumexp(lw) - jnp.log(
+                jnp.asarray(float(n_total), dtype)
+            )
+
+            # Global systematic resampling: gather weights + particles.
+            lw_all = lax.all_gather(lw, CHAIN_AXIS).reshape(n_total)
+            parts_all = lax.all_gather(
+                particles, CHAIN_AXIS
+            ).reshape(n_total, dim)
+            w = jax.nn.softmax(lw_all)
+            positions = (
+                jax.random.uniform(k_res, (), dtype)
+                + jnp.arange(n_total, dtype=dtype)
+            ) / n_total
+            idx = jnp.searchsorted(
+                jnp.cumsum(w), positions, side="right"
+            ).clip(0, n_total - 1)
+            my = lax.axis_index(CHAIN_AXIS)
+            local_idx = lax.dynamic_slice_in_dim(
+                idx, my * n_loc, n_loc
+            )
+            particles = parts_all[local_idx]
+
+            particles, acc = mutate(particles, k_mut, beta_new, step)
+            mean_accept = lax.pmean(jnp.mean(acc), CHAIN_AXIS)
+            step = step * jnp.exp(0.5 * (mean_accept - 0.6))
+            return (
+                key, particles, beta_new, log_z, k_stage + 1,
+                mean_accept, step,
+            )
+
+        def cond(state):
+            _, _, beta, _, k_stage, _, _ = state
+            return (beta < 1.0) & (k_stage < max_stages)
+
+        init = (
+            key,
+            particles,
+            jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.ones((), dtype),
+            jnp.asarray(hmc_step_size, dtype),
+        )
+        out = lax.while_loop(cond, stage, init)
+        return out[1], out[3], out[4], out[5]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh1,
+        in_specs=(P(CHAIN_AXIS), P()),
+        out_specs=(P(CHAIN_AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    particles, log_z, stages, accept = fn(init_particles, key)
+    return SMCResult(
+        particles=particles,
+        log_evidence=log_z,
+        num_stages=stages,
+        final_accept=accept,
+    )

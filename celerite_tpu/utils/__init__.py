@@ -1,0 +1,4 @@
+"""Utilities: timing, profiling, debug modes."""
+
+from .timer import benchmark  # noqa: F401
+from .debug import debug_mode, check_backends_agree  # noqa: F401

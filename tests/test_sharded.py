@@ -132,3 +132,31 @@ def test_sharded_chain_step_collective():
     new, accept = jax.jit(step)(thetas, keys)
     assert new.shape == thetas.shape
     assert 0.0 <= float(accept) <= 1.0
+
+
+def test_sharded_smc_gaussian():
+    require_devices(8)
+    from celerite_tpu.parallel.sharded import sample_smc_sharded
+
+    cov = np.array([[2.0, 1.2], [1.2, 1.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -2.0])
+
+    def loglike(x):
+        d = x - mu
+        return -0.5 * d @ prec @ d
+
+    def logprior(x):
+        return -0.5 * jnp.sum(x**2) / 25.0
+
+    rng = np.random.default_rng(3)
+    init = jnp.asarray(rng.standard_normal((512, 2)) * 3.0)
+    mesh = mesh_lib.make_mesh(8)
+    res = sample_smc_sharded(
+        logprior, loglike, init, jax.random.PRNGKey(3), mesh=mesh,
+        num_mutations=4, hmc_step_size=0.5,
+    )
+    s = np.asarray(res.particles)
+    assert s.shape == (512, 2)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.4)
+    assert int(res.num_stages) >= 1

@@ -230,7 +230,7 @@ class GP(ModelSet):
 
     # -- pure functional core ------------------------------------------------
     def build_loglik(self, t, y, yerr=1.123e-12, diag=None, solver="auto",
-                     block_size=None):
+                     block_size=None, fast_grad=False):
         """Return a pure jittable ``theta_active -> (ll, ok)`` closure.
 
         ``theta_active`` follows ``get_parameter_vector()`` ordering (kernel
@@ -242,6 +242,13 @@ class GP(ModelSet):
         ``solver``: "seq" (sequential scan), "blocked" (block-parallel),
         "pallas" (fused TPU kernels), or "auto" (seq below 4096 points,
         blocked above — the sequential scan is latency-bound at large N).
+
+        ``fast_grad``: wrap the closure in a custom VJP whose backward is
+        forward-mode over the (few) parameters instead of reverse-mode
+        over the N-point recursions.  With d parameters the gradient then
+        costs ~(1 + d/2) forward passes instead of a full reverse sweep —
+        a large win for the big-N blocked/pallas paths (the reference's
+        forward-mode coefficient AD had the same insight, solver.cpp:347).
         """
         t = jnp.asarray(np.atleast_1d(t), dtype=jnp.result_type(float))
         y = jnp.asarray(y)
@@ -294,7 +301,44 @@ class GP(ModelSet):
             )
             return ll_fn(ssm, resid)
 
-        return loglik
+        if not fast_grad:
+            return loglik
+
+        # Forward-mode gradient: jvp through the lax blocked solver per
+        # parameter (vectorized by jacfwd), attached as the custom VJP of
+        # the (possibly pallas) primal.
+        from .ops import blocked as _blocked
+
+        def loglik_lax(theta):
+            full = fixed.at[idx].set(theta) if len(idx) else fixed
+            kp, mp = full[:nk], full[nk:]
+            coeffs = Coefficients(
+                *kernel.get_padded_coefficients(kp),
+                jitter=kernel.get_jitter(kp),
+            )
+            resid = y - mean_fn(mp, t)
+            ssm = lower(
+                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
+            )
+            ll, ok = _blocked.gp_log_likelihood(
+                ssm, resid, block_size=block_size
+            )
+            return ll
+
+        @jax.custom_vjp
+        def loglik_fast(theta):
+            return loglik(theta)
+
+        def _fwd(theta):
+            return loglik(theta), theta
+
+        def _bwd(theta, g):
+            g_ll, _ = g
+            jac = jax.jacfwd(loglik_lax)(theta)
+            return (g_ll * jac,)
+
+        loglik_fast.defvjp(_fwd, _bwd)
+        return loglik_fast
 
     def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
                       solver="auto", block_size=None):

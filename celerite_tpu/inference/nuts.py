@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts"]
+__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts", "sample_nuts_batch"]
 
 
 class NUTSInfo(NamedTuple):
@@ -424,3 +424,39 @@ def sample_nuts(
         "num_steps": pooled_sum(steps),
     }
     return chain, info
+
+
+def sample_nuts_batch(
+    logprob_fn,
+    data_batch,
+    init_params,
+    key,
+    **kwargs,
+):
+    """Independent NUTS fits for a batch of problems, fully vectorized.
+
+    The pod-scale fleet-fitting primitive (BASELINE.json configs[4]:
+    thousands of light curves, each with its own hyperparameters): one
+    NUTS run per problem, vmapped over the problem axis, with warmup
+    adaptation pooled per-problem across that problem's chains.
+
+    Args:
+        logprob_fn: ``(data, theta) -> log prob`` for a single problem.
+        data_batch: pytree whose leaves have leading dim B (one slice per
+            problem).
+        init_params: (B, n_chains, dim) initial positions.
+        key: PRNG key (split across problems internally).
+        kwargs: forwarded to :func:`sample_nuts`.
+
+    Returns (chains, infos): chains (B, n_chains, num_samples, dim);
+    infos is a dict of per-problem arrays.
+    """
+    b = init_params.shape[0]
+    keys = jax.random.split(key, b)
+
+    def one(data, init, key):
+        return sample_nuts(
+            lambda th: logprob_fn(data, th), init, key, **kwargs
+        )
+
+    return jax.vmap(one)(data_batch, init_params, keys)

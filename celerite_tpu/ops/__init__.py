@@ -18,15 +18,23 @@ from . import blocked, carma, dense, kernels, lower, poly, seq  # noqa: F401
 def best_ll(ssm, resid):
     """GP log-likelihood via the fastest available backend.
 
-    Dispatches to the block-parallel solver for large N (where the
-    sequential scan is latency-bound) and the sequential scan otherwise.
+    Small N: sequential scan.  Large N: fused Pallas kernels on TPU
+    (8.5 ms at N=1e6, L=1024 on v5e), block-parallel lax elsewhere.
     Returns the ll value only (-inf when the factorization fails).
     """
+    import jax
+
     n = ssm.U.shape[0]
-    if n >= 4096:
+    if n < 4096:
+        ll, _ = seq.gp_log_likelihood(ssm, resid)
+    elif jax.default_backend() == "tpu":
+        from . import pallas_solver
+
+        ll, _ = pallas_solver.gp_log_likelihood(
+            ssm, resid, block_size=2048
+        )
+    else:
         from . import blocked
 
         ll, _ = blocked.gp_log_likelihood(ssm, resid)
-    else:
-        ll, _ = seq.gp_log_likelihood(ssm, resid)
     return ll

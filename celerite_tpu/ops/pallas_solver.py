@@ -157,15 +157,18 @@ def _factor_kernel(sh0_ref, u_ref, v_ref, ph_ref, a_ref, y_ref,
 
 
 def _subst_kernel(h0_ref, u_ref, ph_ref, w_ref, y_ref, d_ref,
-                  quad_out, logdet_out, mind_out, h, quad, logdet, mind):
-    """Pass 3: forward substitution + per-block reductions."""
+                  quad_out, logdet_out, mind_out, h, quad, cq, logdet, cl,
+                  mind):
+    """Pass 3: forward substitution + per-block Kahan reductions."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         h[:] = h0_ref[:]
         quad[:] = jnp.zeros_like(quad)
+        cq[:] = jnp.zeros_like(cq)
         logdet[:] = jnp.zeros_like(logdet)
+        cl[:] = jnp.zeros_like(cl)
         mind[:] = jnp.full_like(mind, jnp.inf)
 
     u = u_ref[0]
@@ -177,14 +180,23 @@ def _subst_kernel(h0_ref, u_ref, ph_ref, w_ref, y_ref, d_ref,
     f = ph * h[:]
     z = y - jnp.sum(u * f, axis=0, keepdims=True)
     h[:] = f + w * z
-    quad[:] = quad[:] + z * z / d
-    logdet[:] = logdet[:] + jnp.log(d)
+
+    # Compensated accumulation (see ops/blocked.py pass 3).
+    x1 = z * z / d - cq[:]
+    t1 = quad[:] + x1
+    cq[:] = (t1 - quad[:]) - x1
+    quad[:] = t1
+    x2 = jnp.log(d) - cl[:]
+    t2 = logdet[:] + x2
+    cl[:] = (t2 - logdet[:]) - x2
+    logdet[:] = t2
+
     mind[:] = jnp.minimum(mind[:], d)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        quad_out[:] = quad[:]
-        logdet_out[:] = logdet[:]
+        quad_out[:] = quad[:] + cq[:]
+        logdet_out[:] = logdet[:] + cl[:]
         mind_out[:] = mind[:]
 
 
@@ -263,12 +275,15 @@ def _run_subst(h0, u, ph, w, y, d, interpret):
             pltpu.VMEM((1, b), dtype),
             pltpu.VMEM((1, b), dtype),
             pltpu.VMEM((1, b), dtype),
+            pltpu.VMEM((1, b), dtype),
+            pltpu.VMEM((1, b), dtype),
         ],
         interpret=interpret,
     )(h0, u, ph, w, y, d)
 
 
-def gp_log_likelihood(ssm: SSM, resid, block_size=256, interpret=False):
+def _gp_log_likelihood_impl(ssm: SSM, resid, block_size=256,
+                            interpret=False):
     """Fused Pallas GP log-likelihood; same semantics as blocked version.
 
     ``block_size`` is L (the sequential depth per kernel); B = ceil(N/L)
@@ -301,3 +316,42 @@ def gp_log_likelihood(ssm: SSM, resid, block_size=256, interpret=False):
     )
     ok = (jnp.min(mind) > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf), ok
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gp_log_likelihood(ssm: SSM, resid, block_size=256, interpret=False):
+    """Differentiable Pallas GP log-likelihood.
+
+    Forward: the fused Pallas kernels.  Backward: reverse-mode through the
+    mathematically identical lax blocked implementation (Pallas kernels
+    have no automatic AD) — one recomputed forward plus the block-parallel
+    backward sweep, so gradients stay exact and block-parallel.
+    """
+    return _gp_log_likelihood_impl(
+        ssm, resid, block_size=block_size, interpret=interpret
+    )
+
+
+def _ll_fwd(ssm, resid, block_size, interpret):
+    out = _gp_log_likelihood_impl(
+        ssm, resid, block_size=block_size, interpret=interpret
+    )
+    return out, (ssm, resid)
+
+
+def _ll_bwd(block_size, interpret, res, g):
+    ssm, resid = res
+    g_ll, _ = g
+
+    def ll_only(ssm, resid):
+        ll, ok = blocked.gp_log_likelihood(
+            ssm, resid, block_size=block_size
+        )
+        return ll
+
+    _, vjp = jax.vjp(ll_only, ssm, resid)
+    d_ssm, d_resid = vjp(g_ll)
+    return d_ssm, d_resid
+
+
+gp_log_likelihood.defvjp(_ll_fwd, _ll_bwd)

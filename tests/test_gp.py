@@ -277,3 +277,17 @@ def test_log_white_noise_compat():
     gp.compute(t, yerr)
     assert np.isfinite(gp.log_likelihood(y))
     assert gp.kernel.jitter > 0
+
+
+def test_build_loglik_fast_grad_matches():
+    t, yerr, y = make_data(512)
+    gp = GP(terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.5))
+    gp.compute(t, yerr)
+    fast = gp.build_loglik(t, y, yerr=yerr, solver="blocked",
+                           fast_grad=True)
+    slow = gp.build_loglik(t, y, yerr=yerr, solver="blocked")
+    theta = jnp.asarray(gp.get_parameter_vector())
+    (v1, ok1), g1 = jax.value_and_grad(fast, has_aux=True)(theta)
+    (v2, ok2), g2 = jax.value_and_grad(slow, has_aux=True)(theta)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)

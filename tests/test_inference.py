@@ -203,3 +203,52 @@ def test_nuts_gp_posterior_recovery():
     )
     # True parameters are inside the 4-sigma posterior box.
     assert np.all(np.abs(s.mean(0) - [0.5, -0.5]) < 4 * s.std(0))
+
+
+def test_sample_nuts_batch():
+    from celerite_tpu.inference.nuts import sample_nuts_batch
+
+    mus = jnp.asarray([[0.0, 0.0], [3.0, -1.0], [-2.0, 2.0]])
+
+    def logprob(mu, th):
+        return -0.5 * jnp.sum((th - mu) ** 2)
+
+    rng = np.random.default_rng(0)
+    init = jnp.asarray(rng.standard_normal((3, 4, 2)))
+    chains, infos = sample_nuts_batch(
+        logprob, mus, init, jax.random.PRNGKey(0),
+        num_warmup=150, num_samples=150,
+    )
+    assert chains.shape == (3, 4, 150, 2)
+    means = np.asarray(chains).reshape(3, -1, 2).mean(1)
+    np.testing.assert_allclose(means, np.asarray(mus), atol=0.25)
+
+
+def test_map_fit_improves_ll():
+    from celerite_tpu.inference.optimize import map_fit
+
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 20, 150))
+    yerr = np.full(150, 0.3)
+    gp_sim = GP(terms.RealTerm(log_a=0.5, log_c=-0.5))
+    gp_sim.compute(t, yerr)
+    y = gp_sim.sample(seed=2)
+
+    gp = GP(terms.RealTerm(log_a=-0.5, log_c=0.5))
+    gp.compute(t, yerr)
+    ll0 = gp.log_likelihood(y)
+    params, trace = map_fit(
+        gp, t, y, yerr=yerr,
+        log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+        num_steps=800,
+    )
+    gp.compute(t, yerr)
+    ll1 = gp.log_likelihood(y)
+    assert ll1 >= ll0
+    # the optimizer should have converged to a stationary point
+    logprob = gp.build_logprob(
+        t, y, yerr=yerr,
+        log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+    )
+    g = jax.grad(logprob)(jnp.asarray(params))
+    assert np.all(np.abs(np.asarray(g)) < 0.5)

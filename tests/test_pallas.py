@@ -55,3 +55,34 @@ def test_pallas_non_pd():
     )
     assert not bool(ok)
     assert np.isneginf(float(ll))
+
+
+def test_pallas_custom_vjp_matches_seq():
+    import jax
+
+    ssm, y = make_problem(512)
+    kernel = terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3)
+    rng = np.random.default_rng(1)
+    t = np.sort(rng.uniform(0, 50, 512))
+    yerr = np.full(512, 0.2)
+    yy = jnp.asarray(np.sin(0.3 * t))
+
+    def ll_p(params):
+        coeffs = Coefficients(
+            *kernel.get_padded_coefficients(params), jitter=jnp.zeros(())
+        )
+        s = lower(coeffs, jnp.asarray(t), jnp.asarray(yerr**2))
+        return pallas_solver.gp_log_likelihood(s, yy, 64, True)[0]
+
+    def ll_s(params):
+        coeffs = Coefficients(
+            *kernel.get_padded_coefficients(params), jitter=jnp.zeros(())
+        )
+        s = lower(coeffs, jnp.asarray(t), jnp.asarray(yerr**2))
+        return seq.gp_log_likelihood(s, yy)[0]
+
+    theta = jnp.asarray(kernel.get_parameter_vector())
+    g = jax.grad(ll_p)(theta)
+    g_ref = jax.grad(ll_s)(theta)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-9)

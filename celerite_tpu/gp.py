@@ -309,6 +309,10 @@ class GP(ModelSet):
         # the (possibly pallas) primal.
         from .ops import blocked as _blocked
 
+        # The tangent sweep is lax-scan-bound, so it wants a smaller block
+        # size than the pallas primal (fewer wide steps beat fewer blocks).
+        grad_block = min(block_size or 512, 512)
+
         def loglik_lax(theta):
             full = fixed.at[idx].set(theta) if len(idx) else fixed
             kp, mp = full[:nk], full[nk:]
@@ -321,7 +325,7 @@ class GP(ModelSet):
                 coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
             )
             ll, ok = _blocked.gp_log_likelihood(
-                ssm, resid, block_size=block_size
+                ssm, resid, block_size=grad_block
             )
             return ll
 

@@ -56,6 +56,9 @@ __all__ = [
     "gp_log_likelihood",
     "factor",
     "solve_lower",
+    "solve",
+    "dot_L",
+    "matmul",
     "default_block_size",
     "apply_elem",
 ]
@@ -66,7 +69,7 @@ def apply_elem(elem, S):
     A, J, C = elem
     p = A.shape[-1]
     eye = jnp.eye(p, dtype=A.dtype)
-    return A @ S @ jnp.linalg.inv(eye + J @ S) @ jnp.swapaxes(A, -1, -2) + C
+    return A @ S @ _small_inv(eye + J @ S) @ jnp.swapaxes(A, -1, -2) + C
 
 
 def _kahan_add(s, c, x):
@@ -116,24 +119,40 @@ def _pad_blocks(ssm: SSM, resid, L):
 # -- Riccati (A, J, C) element algebra --------------------------------------
 
 
+def _small_inv(M):
+    """Batched inverse of small (..., p, p) matrices, unrolled.
+
+    Gauss-Jordan without pivoting, fully vectorized over the batch.  The
+    matrices here are I + C J products with O(1) pivots, far from the
+    pivoting-pathological regime, and LAPACK-style batched LU is very slow
+    on TPU (it lowers to sequential loops); this unrolled form is pure
+    VPU arithmetic and differentiates cheaply.
+    """
+    p = M.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(p, dtype=M.dtype), M.shape)
+    aug = jnp.concatenate([M, eye], axis=-1)  # (..., p, 2p)
+    for k in range(p):
+        row = aug[..., k, :] / aug[..., k, k:k + 1]
+        elim = aug - aug[..., :, k:k + 1] * row[..., None, :]
+        aug = elim.at[..., k, :].set(row)
+    return aug[..., :, p:]
+
+
 def _compose_full(e1, e2):
     """Full composition of two (A, J, C) elements (used across blocks).
 
-    e1 acts first.  O(P^3) with one P x P solve.
+    e1 acts first.  O(P^3) with one unrolled P x P inverse.
     """
     A1, J1, C1 = e1
     A2, J2, C2 = e2
     p = A1.shape[-1]
     eye = jnp.eye(p, dtype=A1.dtype)
     tr = lambda x: jnp.swapaxes(x, -1, -2)  # batch-safe transpose
-    # E = (I + C1 J2)^{-1}; solve once, reuse for all three outputs.
-    M = eye + C1 @ J2
-    EA1 = jnp.linalg.solve(M, A1)
-    EC1 = jnp.linalg.solve(M, C1)
-    A12 = A2 @ EA1
-    C12 = A2 @ EC1 @ tr(A2) + C2
-    J2E = tr(jnp.linalg.solve(tr(M), tr(J2)))  # = J2 @ M^{-1}
-    J12 = J1 + tr(A1) @ J2E @ A1
+    # E = (I + C1 J2)^{-1}; invert once, reuse for all three outputs.
+    E = _small_inv(eye + C1 @ J2)
+    A12 = A2 @ E @ A1
+    C12 = A2 @ E @ C1 @ tr(A2) + C2
+    J12 = J1 + tr(A1) @ (J2 @ E) @ A1
     return (A12, J12, C12)
 
 
@@ -177,15 +196,21 @@ def _block_elements(blk: SSM):
             w = (v - su) / d
             Sh_new = S + d * jnp.outer(w, w)
 
-            # Closed-loop transition F = (I - v u^T/a)(Phi + su ut^T/d).
+            # Closed-loop transition F = (I - v u^T/a)(Phi + su ut^T/d),
+            # applied to Ac in rank-1 form (per-step batched P x P matmuls
+            # lower poorly on TPU; these are all diag/outer/reduce ops):
+            #   G Ac   = Phi Ac + su (ut^T Ac)/d
+            #   F Ac   = G Ac - v ((u^T G) Ac)/a,
+            #   u^T G  = ph*u + (u.su/d) ut
             ut = ph * u
-            G = jnp.diag(ph) + jnp.outer(su, ut) / d
-            F = G - jnp.outer(v, u @ G) / a
-            Anew = F @ Ac
+            uAc = jnp.sum(Ac * ut[:, None], axis=0)  # ut^T Ac
+            GAc = ph[:, None] * Ac + jnp.outer(su, uAc) / d
+            uG = ph * u + ((u @ su) / d) * ut
+            uGAc = jnp.sum(Ac * uG[:, None], axis=0)
+            Anew = GAc - jnp.outer(v, uGAc) / a
 
             # Information accumulation: J -= (Ac^T ut)(Ac^T ut)^T / d.
-            x = Ac.T @ ut
-            Jnew = Jc - jnp.outer(x, x) / d
+            Jnew = Jc - jnp.outer(uAc, uAc) / d
 
             return (Anew, Jnew, Sh_new), None
 
@@ -403,3 +428,115 @@ def gp_log_likelihood(ssm: SSM, resid, block_size=None):
     ok = (jnp.min(min_d) > 0) & jnp.isfinite(ll)
     ll = jnp.where(ok, ll, -jnp.inf)
     return ll, ok
+
+
+def _diag_affine_scan(phi, b, reverse=False):
+    """Parallel solve of f_n = phi_n * f_{n-1} + b_n (diagonal transition).
+
+    A pure associative scan over (N, P) pairs — O(log N) vectorized
+    passes, no blocking needed.  ``reverse`` runs the recursion from the
+    other end.
+    """
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return (a2 * a1, a2 * b1 + b2)
+
+    a, out = lax.associative_scan(
+        combine, (phi, b), axis=0, reverse=reverse
+    )
+    return out
+
+
+def solve(ssm: SSM, fact, y, block_size=None):
+    """Solve K x = y, block-parallel (seq.solve analog).
+
+    Forward substitution uses the blocked affine machinery; the backward
+    substitution is the same recursion run on index-reversed arrays.
+    """
+    import jax
+
+    if y.ndim == 2:
+        return jax.vmap(
+            lambda col: solve(ssm, fact, col, block_size), 1, 1
+        )(y)
+
+    z = solve_lower(ssm, fact, y, block_size=block_size) / fact.D
+
+    # Backward: x_n = z_n - W_n^T g_n, g_n = Phi_{n+1}(g_{n+1} +
+    # U_{n+1} x_{n+1}).  Reverse index order and reuse the forward-shaped
+    # blocked affine solve: with r = reversed, the recursion becomes
+    # x_r = z_r - W_r^T g_r, g_r = Phi_prev(g_prev + U_prev x_prev) —
+    # i.e. the same "state + rank-1 output feedback" pattern with (U, W)
+    # swapped and phi shifted by one.
+    # Index-reversal bookkeeping: with r = N-1-n the recursion becomes
+    #   x~_r = z~_r - W[rev][r] . g~_r,
+    #   g~_r = phi[rev_next][r] (g~_{r-1} + U[rev][r-1] . x~_{r-1})
+    # which is solve_lower's shape with U' = W[rev], W' = U[rev], and
+    # phi' = (phi shifted down one)[rev].
+    n, p = ssm.U.shape
+    rev = slice(None, None, -1)
+    phi_next = jnp.concatenate(
+        [ssm.phi[1:], jnp.ones((1, p), ssm.phi.dtype)], axis=0
+    )
+    ssm_rev = SSM(
+        U=fact.W[rev],
+        V=ssm.V[rev],  # unused by the affine solve
+        phi=phi_next[rev],
+        A=ssm.A[rev],  # unused
+    )
+    fact_rev = fact._replace(W=ssm.U[rev], D=fact.D[rev])
+    x_rev = solve_lower(ssm_rev, fact_rev, z[rev], block_size=block_size)
+    return x_rev[rev]
+
+
+def dot_L(ssm: SSM, fact, z, block_size=None):
+    """L sqrt(D) z, parallel (seq.dot_L analog).
+
+    The carry has a *diagonal* transition (no output feedback), so this
+    is a single associative scan — no block structure required.
+    """
+    import jax
+
+    if z.ndim == 2:
+        return jax.vmap(
+            lambda col: dot_L(ssm, fact, col, block_size), 1, 1
+        )(z)
+
+    t = jnp.sqrt(fact.D) * z
+    w_prev = jnp.concatenate(
+        [jnp.zeros_like(fact.W[:1]), fact.W[:-1]], axis=0
+    )
+    t_prev = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]])
+    # f_n = phi_n (f_{n-1} + W_{n-1} t_{n-1})
+    f = _diag_affine_scan(ssm.phi, ssm.phi * w_prev * t_prev[:, None])
+    return t + jnp.sum(ssm.U * f, axis=1)
+
+
+def matmul(ssm: SSM, z, block_size=None):
+    """K @ z, parallel (seq.matmul analog): two associative scans."""
+    import jax
+
+    if z.ndim == 2:
+        return jax.vmap(
+            lambda col: matmul(ssm, col, block_size), 1, 1
+        )(z)
+
+    n, p = ssm.U.shape
+    v_prev = jnp.concatenate([jnp.zeros_like(ssm.V[:1]), ssm.V[:-1]], 0)
+    z_prev = jnp.concatenate([jnp.zeros_like(z[:1]), z[:-1]])
+    g = _diag_affine_scan(ssm.phi, ssm.phi * v_prev * z_prev[:, None])
+    y_low = jnp.sum(ssm.U * g, axis=1)
+
+    phi_next = jnp.concatenate(
+        [ssm.phi[1:], jnp.ones((1, p), ssm.phi.dtype)], 0
+    )
+    u_next = jnp.concatenate([ssm.U[1:], jnp.zeros((1, p), ssm.U.dtype)], 0)
+    z_next = jnp.concatenate([z[1:], jnp.zeros_like(z[:1])])
+    h = _diag_affine_scan(
+        phi_next, phi_next * u_next * z_next[:, None], reverse=True
+    )
+    y_up = jnp.sum(ssm.V * h, axis=1)
+
+    return ssm.A * z + y_low + y_up

@@ -92,19 +92,17 @@ def _elements_kernel(u_ref, v_ref, ph_ref, a_ref, A_out, J_out, C_out,
     w = (v - su) / d
     Sh[:] = S + d[None, :, :] * w[:, None, :] * w[None, :, :]
 
-    # Closed-loop transition F = (I - v u^T/a)(diag(ph) + su ut^T/d).
+    # Closed-loop transition F = (I - v u^T/a)(diag(ph) + su ut^T/d)
+    # applied to A_c in rank-1 form (see ops/blocked._block_elements).
     ut = ph * u
-    eye = jnp.eye(p, dtype=u.dtype)[:, :, None]
-    G = eye * ph[None, :, :] + su[:, None, :] * (ut / d)[None, :, :]
-    uG = jnp.sum(u[:, None, :] * G, axis=0)  # (P, B)
-    F = G - v[:, None, :] * (uG / a)[None, :, :]
-    A_new = jnp.sum(
-        F[:, :, None, :] * A_c[None, :, :, :], axis=1
-    )  # (P, P, B) matmul over the middle index
+    uAc = jnp.sum(A_c * ut[:, None, :], axis=0)  # ut^T A_c, (P, B)
+    GAc = ph[:, None, :] * A_c + su[:, None, :] * (uAc / d)[None, :, :]
+    uG = ph * u + (jnp.sum(u * su, axis=0, keepdims=True) / d) * ut
+    uGAc = jnp.sum(A_c * uG[:, None, :], axis=0)  # (P, B)
+    A_new = GAc - v[:, None, :] * (uGAc / a)[None, :, :]
 
     # Information accumulation.
-    x = jnp.sum(A_c * ut[:, None, :], axis=0)  # A_c^T ut, (P, B)
-    J_new = J_c - x[:, None, :] * (x / d)[None, :, :]
+    J_new = J_c - uAc[:, None, :] * (uAc / d)[None, :, :]
 
     Ac[:] = A_new
     Jc[:] = J_new

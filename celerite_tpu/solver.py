@@ -100,6 +100,22 @@ _matmul = jax.jit(seq.matmul)
 _predict = jax.jit(seq.predict_mean)
 
 
+def _blocked_ops():
+    from .ops import blocked
+
+    return {
+        "factor": jax.jit(blocked.factor),
+        "solve": jax.jit(blocked.solve),
+        "dot_solve": jax.jit(
+            lambda ssm, fact, y: jnp.sum(
+                blocked.solve_lower(ssm, fact, y) ** 2 / fact.D
+            )
+        ),
+        "dot_L": jax.jit(blocked.dot_L),
+        "matmul": jax.jit(blocked.matmul),
+    }
+
+
 def _as_f64(x):
     return jnp.asarray(x, dtype=jnp.result_type(float))
 
@@ -112,8 +128,26 @@ class CholeskySolver:
     plus the lowered inputs needed by the other ops.
     """
 
-    def __init__(self):
+    def __init__(self, method="auto"):
+        """``method``: "scan" (sequential lax.scan), "blocked"
+        (block-parallel — the right choice for large N on accelerators),
+        or "auto" (blocked above 16384 points)."""
+        self._method = method
         self._reset()
+
+    def _ops(self):
+        method = self._method
+        if method == "auto":
+            method = "blocked" if self._n >= 16384 else "scan"
+        if method == "blocked":
+            return _blocked_ops()
+        return {
+            "factor": _factor,
+            "solve": _solve,
+            "dot_solve": _dot_solve,
+            "dot_L": _dot_L,
+            "matmul": _matmul,
+        }
 
     def _reset(self):
         self._computed = False
@@ -192,7 +226,8 @@ class CholeskySolver:
             U_gen=_as_f64(U) if has_general else None,
             V_gen=_as_f64(V) if has_general else None,
         )
-        fact = _factor(ssm)
+        self._n = n
+        fact = self._ops()["factor"](ssm)
         d = np.asarray(fact.D)
         if np.any(d < 0):
             self._computed = False
@@ -229,7 +264,9 @@ class CholeskySolver:
         """K^-1 b for b of shape (N,) or (N, nrhs)."""
         self._require_computed()
         b = self._check_rhs(b)
-        return np.asarray(_solve(self._ssm, self._fact, jnp.asarray(b)))
+        return np.asarray(
+            self._ops()["solve"](self._ssm, self._fact, jnp.asarray(b))
+        )
 
     def dot_solve(self, b):
         """b^T K^-1 b (scalar)."""
@@ -237,7 +274,11 @@ class CholeskySolver:
         b = self._check_rhs(b)
         if b.ndim > 1:
             b = b.reshape(self._n)
-        return float(_dot_solve(self._ssm, self._fact, jnp.asarray(b)))
+        return float(
+            self._ops()["dot_solve"](
+                self._ssm, self._fact, jnp.asarray(b)
+            )
+        )
 
     def dot_L(self, z):
         """L sqrt(D) z: prior sample transport."""
@@ -246,7 +287,9 @@ class CholeskySolver:
         squeeze = z.ndim == 1
         if squeeze:
             z = z[:, None]
-        out = np.asarray(_dot_L(self._ssm, self._fact, jnp.asarray(z)))
+        out = np.asarray(
+            self._ops()["dot_L"](self._ssm, self._fact, jnp.asarray(z))
+        )
         return out
 
     def dot(
@@ -290,7 +333,11 @@ class CholeskySolver:
             U_gen=_as_f64(U) if has_general else None,
             V_gen=_as_f64(V) if has_general else None,
         )
-        out = np.asarray(_matmul(ssm, jnp.asarray(z)))
+        use_blocked = self._method == "blocked" or (
+            self._method == "auto" and t.shape[0] >= 16384
+        )
+        fn = _blocked_ops()["matmul"] if use_blocked else _matmul
+        out = np.asarray(fn(ssm, jnp.asarray(z)))
         return out
 
     def predict(self, y, x):
@@ -377,7 +424,8 @@ class CholeskySolver:
 
     # -- pickling (parity with PicklableCholeskySolver, solver.cpp:36-58) ---
     def __getstate__(self):
-        state = {"computed": self._computed}
+        state = {"computed": self._computed,
+                 "method": getattr(self, "_method", "auto")}
         if self._computed:
             state.update(
                 n=self._n,
@@ -390,6 +438,7 @@ class CholeskySolver:
         return state
 
     def __setstate__(self, state):
+        self._method = state.get("method", "auto")
         self._reset()
         if state.get("computed"):
             from .ops.lower import SSM

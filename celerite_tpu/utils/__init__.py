@@ -2,3 +2,4 @@
 
 from .timer import benchmark  # noqa: F401
 from .debug import debug_mode, check_backends_agree  # noqa: F401
+from .profile import trace  # noqa: F401

@@ -150,3 +150,35 @@ def test_non_pd_detected():
     ll, ok = blocked.gp_log_likelihood(ssm, jnp.asarray(np.sin(t)))
     assert not bool(ok)
     assert np.isneginf(float(ll))
+
+
+@pytest.mark.parametrize("L", [16, 64])
+def test_blocked_solve_full_matches_seq(L):
+    ssm, y = make_problem(700)
+    fact = seq.factor(ssm)
+    x_seq = seq.solve(ssm, fact, y)
+    x_blk = blocked.solve(ssm, fact, y, block_size=L)
+    np.testing.assert_allclose(
+        np.asarray(x_blk), np.asarray(x_seq), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_blocked_dot_L_matches_seq():
+    ssm, y = make_problem(500)
+    fact = seq.factor(ssm)
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.standard_normal(500))
+    np.testing.assert_allclose(
+        np.asarray(blocked.dot_L(ssm, fact, z)),
+        np.asarray(seq.dot_L(ssm, fact, z)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_blocked_matmul_matches_seq():
+    ssm, y = make_problem(500)
+    np.testing.assert_allclose(
+        np.asarray(blocked.matmul(ssm, y)),
+        np.asarray(seq.matmul(ssm, y)),
+        rtol=1e-10, atol=1e-12,
+    )

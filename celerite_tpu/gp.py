@@ -338,8 +338,17 @@ class GP(ModelSet):
 
         def _bwd(theta, g):
             g_ll, _ = g
-            jac = jax.jacfwd(loglik_lax)(theta)
-            return (g_ll * jac,)
+            # Unrolled per-direction jvps: each is one fused augmented
+            # scan (~2x a forward).  jacfwd's vmap-over-tangents and plain
+            # reverse-mode both lower an order of magnitude slower on TPU
+            # (batched-tangent relayouts / residual streaming).
+            dim = theta.shape[0]
+            parts = []
+            for i in range(dim):
+                v = jnp.zeros_like(theta).at[i].set(1.0)
+                _, d = jax.jvp(loglik_lax, (theta,), (v,))
+                parts.append(d)
+            return (g_ll * jnp.stack(parts),)
 
         loglik_fast.defvjp(_fwd, _bwd)
         return loglik_fast

@@ -119,6 +119,7 @@ def _pad_blocks(ssm: SSM, resid, L):
 # -- Riccati (A, J, C) element algebra --------------------------------------
 
 
+@jax.custom_jvp
 def _small_inv(M):
     """Batched inverse of small (..., p, p) matrices, unrolled.
 
@@ -126,7 +127,8 @@ def _small_inv(M):
     matrices here are I + C J products with O(1) pivots, far from the
     pivoting-pathological regime, and LAPACK-style batched LU is very slow
     on TPU (it lowers to sequential loops); this unrolled form is pure
-    VPU arithmetic and differentiates cheaply.
+    VPU arithmetic.  The derivative is supplied analytically
+    (d(M^-1) = -M^-1 dM M^-1) so AD never traces the elimination chain.
     """
     p = M.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(p, dtype=M.dtype), M.shape)
@@ -136,6 +138,14 @@ def _small_inv(M):
         elim = aug - aug[..., :, k:k + 1] * row[..., None, :]
         aug = elim.at[..., k, :].set(row)
     return aug[..., :, p:]
+
+
+@_small_inv.defjvp
+def _small_inv_jvp(primals, tangents):
+    (M,) = primals
+    (dM,) = tangents
+    inv = _small_inv(M)
+    return inv, -inv @ dM @ inv
 
 
 def _compose_full(e1, e2):

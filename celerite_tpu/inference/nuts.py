@@ -148,9 +148,15 @@ def nuts_kernel(
             )
             h = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
             delta_h = h - h0
-            diverging = delta_h > divergence_threshold
-            logw = -delta_h
-            accept = jnp.minimum(1.0, jnp.exp(-delta_h))
+            # NaN energy (e.g. a leapfrog that shot into a -inf/NaN-grad
+            # region in low precision) counts as a divergence and must not
+            # poison the running statistics.
+            bad = jnp.isnan(delta_h)
+            diverging = bad | (delta_h > divergence_threshold)
+            logw = jnp.where(bad, -jnp.inf, -delta_h)
+            accept = jnp.where(
+                bad, 0.0, jnp.minimum(1.0, jnp.exp(-delta_h))
+            )
 
             # Open spans: store checkpoint at levels 1..tz(n) (level j slot
             # j-1); leaf 0 opens every level.

@@ -265,8 +265,13 @@ def matmul(ssm: SSM, z: jnp.ndarray):
     return ssm.A * z + y_low + y_up
 
 
-def predict_mean(coeffs, t, alpha, x):
+def predict_mean(coeffs, t, alpha, x, parallel=False):
     """Conditional mean K_*(x, t) @ alpha in O((N + M) J).
+
+    With ``parallel=True`` the two lag-state recursions run as
+    associative scans (their transitions are diagonal decays), turning
+    the O(N) sequential walk into O(log N) vectorized passes — use on
+    accelerators for large N.
 
     Reference analog: cholesky.h:599-698 (forward/backward lag-state
     accumulators).  Instead of the reference's merge-over-sorted-points loop,
@@ -316,30 +321,42 @@ def predict_mean(coeffs, t, alpha, x):
         axis=1,
     )
 
-    # Forward states: q_k = state at t_k including alpha_k.
-    def fwd(q, inp):
-        v, a, dtp = inp
-        q = q * jnp.exp(-c_all * dtp) + v * a
-        return q, q
+    if parallel:
+        from .blocked import _diag_affine_scan
 
-    _, q_fwd = lax.scan(
-        fwd,
-        jnp.zeros((c_all.shape[0],), dtype),
-        (v_data, alpha, dt_prev),
-    )
+        q_fwd = _diag_affine_scan(
+            jnp.exp(-c_all * dt_prev[:, None]), v_data * alpha[:, None]
+        )
+        r_bwd = _diag_affine_scan(
+            jnp.exp(-c_all * dt_next[:, None]),
+            u_data * alpha[:, None],
+            reverse=True,
+        )
+    else:
+        # Forward states: q_k = state at t_k including alpha_k.
+        def fwd(q, inp):
+            v, a, dtp = inp
+            q = q * jnp.exp(-c_all * dtp) + v * a
+            return q, q
 
-    # Backward states: r_k = state at t_k including alpha_k.
-    def bwd(r, inp):
-        u, a, dtn = inp
-        r = r * jnp.exp(-c_all * dtn) + u * a
-        return r, r
+        _, q_fwd = lax.scan(
+            fwd,
+            jnp.zeros((c_all.shape[0],), dtype),
+            (v_data, alpha, dt_prev),
+        )
 
-    _, r_bwd = lax.scan(
-        bwd,
-        jnp.zeros((c_all.shape[0],), dtype),
-        (u_data, alpha, dt_next),
-        reverse=True,
-    )
+        # Backward states: r_k = state at t_k including alpha_k.
+        def bwd(r, inp):
+            u, a, dtn = inp
+            r = r * jnp.exp(-c_all * dtn) + u * a
+            return r, r
+
+        _, r_bwd = lax.scan(
+            bwd,
+            jnp.zeros((c_all.shape[0],), dtype),
+            (u_data, alpha, dt_next),
+            reverse=True,
+        )
 
     # Gather at test points: i = first data index with t >= x.
     i = jnp.searchsorted(t, x, side="left")

@@ -7,4 +7,4 @@ XLA collectives (psum / all_gather / ppermute) for adaptation statistics,
 SMC resampling, and cross-chip solver carries.
 """
 
-from . import mesh, sharded  # noqa: F401
+from . import mesh, multihost, sharded  # noqa: F401

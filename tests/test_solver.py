@@ -244,3 +244,50 @@ def test_predict_mean_oracle():
     np.testing.assert_allclose(
         got_same, Ktt @ np.linalg.solve(K, y), rtol=1e-7, atol=1e-9
     )
+
+
+def test_solver_blocked_method_agrees():
+    t, yerr, y = make_data(800)
+    kernel = make_kernel()
+    s1 = CholeskySolver(method="scan")
+    s2 = CholeskySolver(method="blocked")
+    for s in (s1, s2):
+        s.compute(kernel.jitter, *kernel.coefficients, t=t, diag=yerr**2)
+    np.testing.assert_allclose(
+        s1.log_determinant(), s2.log_determinant(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        s1.solve(y), s2.solve(y), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        s1.dot_solve(y), s2.dot_solve(y), rtol=1e-10
+    )
+    rng = np.random.default_rng(4)
+    z = rng.standard_normal(len(t))
+    np.testing.assert_allclose(
+        s1.dot_L(z), s2.dot_L(z), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_predict_parallel_matches_sequential():
+    from celerite_tpu.ops import seq
+
+    t, yerr, y = make_data(150)
+    kernel = make_kernel()
+    s = CholeskySolver()
+    s.compute(kernel.jitter, *kernel.coefficients, t=t, diag=yerr**2)
+    alpha = jnp.asarray(s.solve(y))
+    coeffs = Coefficients(
+        *[jnp.asarray(c) for c in kernel.coefficients],
+        jitter=jnp.asarray(kernel.jitter),
+    )
+    x = np.sort(np.random.default_rng(9).uniform(-1, 11, 80))
+    m_seq = np.asarray(
+        seq.predict_mean(coeffs, jnp.asarray(t), alpha, jnp.asarray(x))
+    )
+    m_par = np.asarray(
+        seq.predict_mean(
+            coeffs, jnp.asarray(t), alpha, jnp.asarray(x), parallel=True
+        )
+    )
+    np.testing.assert_allclose(m_par, m_seq, rtol=1e-10, atol=1e-12)

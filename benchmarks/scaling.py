@@ -16,6 +16,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# Allow running the script directly from a checkout without installation.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 import json
 import time
 

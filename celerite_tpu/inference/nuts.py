@@ -313,6 +313,7 @@ def sample_nuts(
     initial_step_size=0.1,
     thin=1,
     axis_name=None,
+    chunk_size=None,
 ):
     """Vmapped multi-chain NUTS with cross-chain window adaptation.
 
@@ -328,6 +329,11 @@ def sample_nuts(
     ``axis_name``: when running inside shard_map with chains sharded over
     a mesh axis, pass that axis name so adaptation statistics psum across
     devices (see parallel.sharded.sample_nuts_sharded).
+
+    ``chunk_size``: when set, warmup and sampling run as host-driven
+    segments of at most this many transitions per device launch — use on
+    runtimes that bound single-execution wall-clock, or to interleave
+    checkpointing.  Results are identical to the single-launch path.
     """
     from .adaptation import (
         DualAveragingState,
@@ -402,32 +408,81 @@ def sample_nuts(
     wf0 = welford_init(dim, dtype)
     carry = (init_params, da0, wf0, jnp.ones((dim,), dtype))
     warm_keys = jax.random.split(k_warm, num_warmup)
-    (qs, da, wf, inv_mass), _ = lax.scan(
-        warmup_step,
-        carry,
-        (warm_keys, is_mass_window, is_window_end),
-    )
-    step_size = da_final(da)
 
-    def sample_step(carry, key):
-        qs = carry
-        keys = jax.random.split(key, n_chains)
-        qs, info = vkernel(qs, keys, step_size, inv_mass)
-        return qs, (qs, info.accept_prob, info.diverging, info.num_steps)
+    def warmup_segment(carry, keys, mass_flags, end_flags):
+        return lax.scan(
+            warmup_step, carry, (keys, mass_flags, end_flags)
+        )[0]
 
-    key, k_samp = jax.random.split(key)
-    samp_keys = jax.random.split(k_samp, num_samples)
-    _, (chain, accept, div, steps) = lax.scan(
-        sample_step, qs, samp_keys
-    )
+    def sample_segment(qs, keys, step_size, inv_mass):
+        def sample_step(qs, key):
+            ks = jax.random.split(key, n_chains)
+            qs, info = vkernel(qs, ks, step_size, inv_mass)
+            return qs, (
+                qs, info.accept_prob, info.diverging, info.num_steps
+            )
+
+        return lax.scan(sample_step, qs, keys)
+
+    if chunk_size is None:
+        carry = warmup_segment(
+            carry, warm_keys, is_mass_window, is_window_end
+        )
+        qs, da, wf, inv_mass = carry
+        step_size = da_final(da)
+        key, k_samp = jax.random.split(key)
+        samp_keys = jax.random.split(k_samp, num_samples)
+        _, (chain, accept, div, steps) = sample_segment(
+            qs, samp_keys, step_size, inv_mass
+        )
+        accept = pooled_mean(accept)
+        div = pooled_sum(div)
+        steps = pooled_sum(steps)
+    else:
+        # Host-chunked execution: each device launch covers <= chunk_size
+        # transitions.  Needed where the runtime bounds single-execution
+        # wall-clock (long NUTS programs otherwise hit device deadlines),
+        # and the natural place for progress/checkpoint hooks.
+        warm_seg = jax.jit(warmup_segment)
+        samp_seg = jax.jit(sample_segment)
+        for lo in range(0, num_warmup, chunk_size):
+            hi = min(lo + chunk_size, num_warmup)
+            carry = warm_seg(
+                carry,
+                warm_keys[lo:hi],
+                is_mass_window[lo:hi],
+                is_window_end[lo:hi],
+            )
+        qs, da, wf, inv_mass = carry
+        step_size = da_final(da)
+        key, k_samp = jax.random.split(key)
+        samp_keys = jax.random.split(k_samp, num_samples)
+        chains, accepts, divs, steps_l = [], [], [], []
+        for lo in range(0, num_samples, chunk_size):
+            hi = min(lo + chunk_size, num_samples)
+            qs, (c, a, d, s) = samp_seg(
+                qs, samp_keys[lo:hi], step_size, inv_mass
+            )
+            chains.append(c)
+            accepts.append(jnp.sum(a))
+            divs.append(jnp.sum(d))
+            steps_l.append(jnp.sum(s))
+        chain = jnp.concatenate(chains, axis=0)
+        # Weight by transition count (chunks may be ragged).
+        accept = pooled_mean(
+            sum(accepts) / (num_samples * n_chains)
+        )
+        div = pooled_sum(jnp.stack(divs))
+        steps = pooled_sum(jnp.stack(steps_l))
+
     # (num_samples, n_chains, dim) -> (n_chains, num_samples, dim)
     chain = jnp.swapaxes(chain, 0, 1)[:, ::thin]
     info = {
         "step_size": step_size,
         "inv_mass": inv_mass,
-        "accept_prob": pooled_mean(accept),
-        "divergences": pooled_sum(div),
-        "num_steps": pooled_sum(steps),
+        "accept_prob": accept,
+        "divergences": div,
+        "num_steps": steps,
     }
     return chain, info
 

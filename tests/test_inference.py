@@ -252,3 +252,22 @@ def test_map_fit_improves_ll():
     )
     g = jax.grad(logprob)(jnp.asarray(params))
     assert np.all(np.abs(np.asarray(g)) < 0.5)
+
+
+def test_sample_nuts_chunked_identical():
+    """Host-chunked execution must reproduce the single-launch run."""
+    init = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2))
+    )
+    c1, i1 = sample_nuts(
+        gauss_logprob, init, jax.random.PRNGKey(0),
+        num_warmup=120, num_samples=120,
+    )
+    c2, i2 = sample_nuts(
+        gauss_logprob, init, jax.random.PRNGKey(0),
+        num_warmup=120, num_samples=120, chunk_size=50,
+    )
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(
+        float(i1["accept_prob"]), float(i2["accept_prob"]), rtol=1e-12
+    )

@@ -79,11 +79,17 @@ def sample_smc(
     num_leapfrog=8,
     target_ess_frac=0.5,
     max_stages=50,
+    host_loop=False,
 ):
     """Adaptive-tempering SMC.  Returns an :class:`SMCResult`.
 
     ``init_particles`` (n, dim) should be draws from the prior (or any
     overdispersed initialization; the first tempering stage corrects).
+
+    ``host_loop=True`` runs one tempering stage per device launch (a
+    jitted stage inside a Python while) instead of a single
+    ``lax.while_loop`` program — use on runtimes that bound per-launch
+    wall-clock, or to insert per-stage logging/checkpointing.
     """
     particles = jnp.asarray(init_particles)
     n, dim = particles.shape
@@ -165,7 +171,14 @@ def sample_smc(
         accept=jnp.ones((), dtype),
         step_size=jnp.asarray(hmc_step_size, dtype),
     )
-    out = lax.while_loop(cond, stage, init)
+    if host_loop:
+        stage_jit = jax.jit(stage)
+        out = init
+        while bool(cond(out)):
+            out = stage_jit(out)
+            jax.block_until_ready(out.particles)
+    else:
+        out = lax.while_loop(cond, stage, init)
     return SMCResult(
         particles=out.particles,
         log_evidence=out.log_z,

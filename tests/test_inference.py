@@ -271,3 +271,21 @@ def test_sample_nuts_chunked_identical():
     np.testing.assert_allclose(
         float(i1["accept_prob"]), float(i2["accept_prob"]), rtol=1e-12
     )
+
+
+def test_smc_host_loop_matches():
+    rng = np.random.default_rng(3)
+    init = jnp.asarray(rng.standard_normal((256, 2)) * 3.0)
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x**2) / 25.0
+
+    kw = dict(num_mutations=3, hmc_step_size=0.5)
+    r1 = sample_smc(log_prior, gauss_logprob, init,
+                    jax.random.PRNGKey(3), **kw)
+    r2 = sample_smc(log_prior, gauss_logprob, init,
+                    jax.random.PRNGKey(3), host_loop=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r1.particles), np.asarray(r2.particles), atol=1e-10
+    )
+    assert int(r1.num_stages) == int(r2.num_stages)

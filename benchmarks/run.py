@@ -23,7 +23,6 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 import csv
-import sys
 import time
 
 import numpy as np

@@ -42,9 +42,6 @@ tests/test_blocked.py (bitwise-class agreement in f64).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

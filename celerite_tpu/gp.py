@@ -280,6 +280,12 @@ class GP(ModelSet):
             ll_fn = lambda ssm, r: pallas_solver.gp_log_likelihood(
                 ssm, r, block_size=block_size or 256
             )
+        elif solver == "fused":
+            from .ops import fused
+
+            ll_fn = lambda ssm, r: fused.gp_log_likelihood(
+                ssm, r, num_blocks=block_size
+            )
         else:
             raise ValueError("unknown solver '{0}'".format(solver))
 

@@ -28,11 +28,9 @@ def best_ll(ssm, resid):
     if n < 4096:
         ll, _ = seq.gp_log_likelihood(ssm, resid)
     elif jax.default_backend() == "tpu":
-        from . import pallas_solver
+        from . import fused
 
-        ll, _ = pallas_solver.gp_log_likelihood(
-            ssm, resid, block_size=2048
-        )
+        ll, _ = fused.gp_log_likelihood(ssm, resid)
     else:
         from . import blocked
 

@@ -204,17 +204,13 @@ def _block_elements(blk: SSM):
             Sh_new = S + d * jnp.outer(w, w)
 
             # Closed-loop transition F = (I - v u^T/a)(Phi + su ut^T/d),
-            # applied to Ac in rank-1 form (per-step batched P x P matmuls
-            # lower poorly on TPU; these are all diag/outer/reduce ops):
-            #   G Ac   = Phi Ac + su (ut^T Ac)/d
-            #   F Ac   = G Ac - v ((u^T G) Ac)/a,
-            #   u^T G  = ph*u + (u.su/d) ut
+            # applied to Ac in rank-1 form.  F simplifies exactly to
+            # (I - w u^T) Phi — the forward-substitution transition:
+            # u^T G = (a/d) ph*u, so the v-column is v (ut^T Ac)/d and
+            # Phi Ac + (su - v)(ut^T Ac)/d = Phi Ac - w (ut^T Ac)^T.
             ut = ph * u
             uAc = jnp.sum(Ac * ut[:, None], axis=0)  # ut^T Ac
-            GAc = ph[:, None] * Ac + jnp.outer(su, uAc) / d
-            uG = ph * u + ((u @ su) / d) * ut
-            uGAc = jnp.sum(Ac * uG[:, None], axis=0)
-            Anew = GAc - jnp.outer(v, uGAc) / a
+            Anew = ph[:, None] * Ac - jnp.outer(w, uAc)
 
             # Information accumulation: J -= (Ac^T ut)(Ac^T ut)^T / d.
             Jnew = Jc - jnp.outer(uAc, uAc) / d

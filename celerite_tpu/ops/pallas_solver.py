@@ -92,14 +92,11 @@ def _elements_kernel(u_ref, v_ref, ph_ref, a_ref, A_out, J_out, C_out,
     w = (v - su) / d
     Sh[:] = S + d[None, :, :] * w[:, None, :] * w[None, :, :]
 
-    # Closed-loop transition F = (I - v u^T/a)(diag(ph) + su ut^T/d)
-    # applied to A_c in rank-1 form (see ops/blocked._block_elements).
+    # Closed-loop transition F = (I - v u^T/a)(diag(ph) + su ut^T/d),
+    # which simplifies exactly to (I - w u^T) Phi (see ops/blocked).
     ut = ph * u
     uAc = jnp.sum(A_c * ut[:, None, :], axis=0)  # ut^T A_c, (P, B)
-    GAc = ph[:, None, :] * A_c + su[:, None, :] * (uAc / d)[None, :, :]
-    uG = ph * u + (jnp.sum(u * su, axis=0, keepdims=True) / d) * ut
-    uGAc = jnp.sum(A_c * uG[:, None, :], axis=0)  # (P, B)
-    A_new = GAc - v[:, None, :] * (uGAc / a)[None, :, :]
+    A_new = ph[:, None, :] * A_c - w[:, None, :] * uAc[None, :, :]
 
     # Information accumulation.
     J_new = J_c - uAc[:, None, :] * (uAc / d)[None, :, :]

@@ -291,3 +291,94 @@ def test_build_loglik_fast_grad_matches():
     (v2, ok2), g2 = jax.value_and_grad(slow, has_aux=True)(theta)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)
+
+
+def test_incremental_kernel_sum():
+    """Kernel sums grown term by term up to P=26, each vs the dense ll.
+
+    Reference analog: tests/test_celerite.py:346-370 — catches
+    coefficient-ordering bugs at much higher rank than the fixed 3-term
+    mixes elsewhere in this suite.  Runs through the facade (seq solver)
+    and the blocked build_loglik path at every increment.
+    """
+    rng = np.random.default_rng(42)
+    t = np.sort(rng.uniform(0, 1, 10))
+    yerr = rng.uniform(0.1, 0.5, len(t))
+    y = np.sin(t)
+
+    U = np.vander(t - np.mean(t), 4).T
+    V = U * rng.uniform(size=4)[:, None]
+    A = np.sum(U * V, axis=0) + 1e-8
+
+    kernel = terms.RealTerm(0.1, 0.5)
+    termlist = [(0.1 + 10.0 / j, 0.5 + 10.0 / j) for j in range(1, 4)]
+    termlist += [
+        (1.0 + 10.0 / j, 0.01 + 10.0 / j, 0.5, 0.01) for j in range(1, 10)
+    ]
+    termlist += [(0.6, 0.7, 1.0), (0.3, 0.05, 0.5, 0.6)]
+    for par in termlist:
+        if len(par) > 2:
+            kernel = kernel + terms.ComplexTerm(*par)
+        else:
+            kernel = kernel + terms.RealTerm(*par)
+        for with_general in (False, True):
+            gp = GP(kernel)
+            if with_general:
+                gp.compute(t, yerr, A=A, U=U, V=V)
+            else:
+                gp.compute(t, yerr)
+            ll = gp.log_likelihood(y)
+
+            K = gp.get_matrix(t)
+            K[np.diag_indices_from(K)] += yerr**2
+            if with_general:
+                K[np.diag_indices_from(K)] += A
+                K += np.tril(U.T @ V, -1) + np.triu(V.T @ U, 1)
+            _, logdet = np.linalg.slogdet(K)
+            ll0 = -0.5 * (
+                y @ np.linalg.solve(K, y)
+                + logdet
+                + len(t) * np.log(2 * np.pi)
+            )
+            np.testing.assert_allclose(ll, ll0, rtol=1e-8)
+
+            # Same increment through the blocked block-parallel solver.
+            fn = gp.build_loglik(
+                t, y, yerr=yerr, solver="blocked", block_size=4
+            )
+            llb, okb = fn(jnp.asarray(gp.get_parameter_vector()))
+            assert bool(okb)
+            np.testing.assert_allclose(float(llb), ll0, rtol=1e-8)
+
+
+def test_nyquist_singularity():
+    """High-Q Lorentzian sampled at (nearly exactly) Nyquist.
+
+    Reference analog: tests/test_celerite.py:498-525 — a documented
+    failure mode of Green's-function-based CARMA solvers that the
+    celerite factorization must survive.
+    """
+    rng = np.random.default_rng(4220)
+    kernel = terms.ComplexTerm(1.0, np.log(1e-6), np.log(1.0))
+    gp = GP(kernel)
+
+    ts = np.array([0.0, 0.5, 1.0, 1.5])
+    ts[1] += 1e-9 * rng.standard_normal()
+    ts[2] += 1e-8 * rng.standard_normal()
+    ts[3] += 1e-7 * rng.standard_normal()
+    ts = np.sort(ts)
+
+    yerr = rng.uniform(0.1, 0.2, len(ts))
+    y = rng.standard_normal(len(ts))
+
+    gp.compute(ts, yerr)
+    llgp = gp.log_likelihood(y)
+
+    K = gp.get_matrix(ts)
+    K[np.diag_indices_from(K)] += yerr**2
+    ll = -0.5 * (
+        y @ np.linalg.solve(K, y)
+        + np.linalg.slogdet(K)[1]
+        + len(y) * np.log(2 * np.pi)
+    )
+    np.testing.assert_allclose(llgp, ll)

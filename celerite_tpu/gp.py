@@ -250,12 +250,27 @@ class GP(ModelSet):
         a large win for the big-N blocked/pallas paths (the reference's
         forward-mode coefficient AD had the same insight, solver.cpp:347).
         """
-        t = jnp.asarray(np.atleast_1d(t), dtype=jnp.result_type(float))
+        t_np = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        t = jnp.asarray(t_np, dtype=jnp.result_type(float))
         y = jnp.asarray(y)
         if diag is None:
             diag = jnp.square(jnp.broadcast_to(jnp.asarray(yerr), t.shape))
         else:
             diag = jnp.asarray(diag)
+
+        # In f32 mode, precompute the static double-single time grid: exact
+        # f64 spacings and the lo half of t, recovering ~3 decades of
+        # lowering accuracy at zero per-eval cost (ops/ds.py).
+        if t.dtype == jnp.float32:
+            t_hi64 = np.float64(np.float32(t_np))
+            lower_kw = dict(
+                dt=jnp.asarray(
+                    np.concatenate([[0.0], np.diff(t_np)]), jnp.float32
+                ),
+                t_lo=jnp.asarray(t_np - t_hi64, jnp.float32),
+            )
+        else:
+            lower_kw = {}
 
         mask = np.asarray(self.unfrozen_mask)
         fixed = jnp.asarray(self.parameter_vector)
@@ -303,7 +318,8 @@ class GP(ModelSet):
             )
             resid = y - mean_fn(mp, t)
             ssm = lower(
-                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
+                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen,
+                **lower_kw
             )
             return ll_fn(ssm, resid)
 
@@ -311,15 +327,14 @@ class GP(ModelSet):
             return loglik
 
         # Forward-mode gradient: jvp through the lax blocked solver per
-        # parameter (vectorized by jacfwd), attached as the custom VJP of
-        # the (possibly pallas) primal.
-        from .ops import blocked as _blocked
+        # parameter, attached as the custom VJP of the fused primal: all
+        # tangent recursions ride inside one tangent-augmented kernel, so
+        # the gradient costs ~2-3 primal passes *total*, not per parameter
+        # (ops/tangent.py; same insight as the reference's forward-mode
+        # coefficient AD, solver.cpp:347).
+        from .ops import tangent as _tangent
 
-        # The tangent sweep is lax-scan-bound, so it wants a smaller block
-        # size than the pallas primal (fewer wide steps beat fewer blocks).
-        grad_block = min(block_size or 512, 512)
-
-        def loglik_lax(theta):
+        def make_inputs(theta):
             full = fixed.at[idx].set(theta) if len(idx) else fixed
             kp, mp = full[:nk], full[nk:]
             coeffs = Coefficients(
@@ -328,12 +343,12 @@ class GP(ModelSet):
             )
             resid = y - mean_fn(mp, t)
             ssm = lower(
-                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen
+                coeffs, t, diag, A_gen=A_gen, U_gen=U_gen, V_gen=V_gen,
+                **lower_kw
             )
-            ll, ok = _blocked.gp_log_likelihood(
-                ssm, resid, block_size=grad_block
-            )
-            return ll
+            return ssm, resid
+
+        on_tpu = jax.default_backend() == "tpu"
 
         @jax.custom_vjp
         def loglik_fast(theta):
@@ -342,19 +357,34 @@ class GP(ModelSet):
         def _fwd(theta):
             return loglik(theta), theta
 
+        def _bwd_tpu(theta, g_ll):
+            dim = theta.shape[0]
+            # The lowering is cheap elementwise math: linearize it once
+            # and push the T basis directions through (vmap of the linear
+            # part only; the primal lowering runs once).
+            (ssm, resid), lin = jax.linearize(make_inputs, theta)
+            dssm, dresid = jax.vmap(lin)(
+                jnp.eye(dim, dtype=theta.dtype)
+            )
+            _, _, dll = _tangent.gp_log_likelihood_jac(
+                ssm, resid, dssm, dresid, num_blocks=block_size
+            )
+            return g_ll * dll
+
+        def _bwd_cpu(theta, g_ll):
+            from .ops import blocked as _blocked
+
+            def ll_only(th):
+                ssm, resid = make_inputs(th)
+                return _blocked.gp_log_likelihood(ssm, resid)[0]
+
+            _, vjp = jax.vjp(ll_only, theta)
+            return vjp(g_ll)[0]
+
         def _bwd(theta, g):
             g_ll, _ = g
-            # Unrolled per-direction jvps: each is one fused augmented
-            # scan (~2x a forward).  jacfwd's vmap-over-tangents and plain
-            # reverse-mode both lower an order of magnitude slower on TPU
-            # (batched-tangent relayouts / residual streaming).
-            dim = theta.shape[0]
-            parts = []
-            for i in range(dim):
-                v = jnp.zeros_like(theta).at[i].set(1.0)
-                _, d = jax.jvp(loglik_lax, (theta,), (v,))
-                parts.append(d)
-            return (g_ll * jnp.stack(parts),)
+            grad = (_bwd_tpu if on_tpu else _bwd_cpu)(theta, g_ll)
+            return (grad,)
 
         loglik_fast.defvjp(_fwd, _bwd)
         return loglik_fast

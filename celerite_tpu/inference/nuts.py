@@ -302,6 +302,110 @@ def nuts_kernel(
     return out.q_prop, info
 
 
+def _build_segments(
+    logprob_data_fn,
+    n_chains,
+    dim,
+    dtype,
+    max_tree_depth,
+    target_accept,
+    axis_name=None,
+):
+    """Jittable warmup/sample segment builders parameterized by data.
+
+    ``logprob_data_fn(data, theta)`` is the per-problem log-probability;
+    every returned function takes ``data`` explicitly so the same segment
+    can be vmapped over a batch of problems (see sample_nuts_batch) or
+    closed over ``data=None`` for a single problem.
+    """
+    from .adaptation import (
+        da_init,
+        da_update,
+        da_final,
+        welford_init,
+        welford_update,
+        welford_variance,
+    )
+
+    def vkernel(data, qs, keys, eps, im):
+        kernel = lambda q, k: nuts_kernel(
+            lambda th: logprob_data_fn(data, th), q, k, eps, im,
+            max_tree_depth=max_tree_depth,
+        )
+        return jax.vmap(kernel)(qs, keys)
+
+    def pooled_mean(x):
+        m = jnp.mean(x)
+        if axis_name is not None:
+            m = lax.pmean(m, axis_name)
+        return m
+
+    def pooled_sum(x):
+        s = jnp.sum(x)
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        return s
+
+    def warmup_step(data, carry, inp):
+        qs, da, wf, inv_mass = carry
+        key, mass_win, win_end = inp
+        keys = jax.random.split(key, n_chains)
+        qs, info = vkernel(data, qs, keys, jnp.exp(da.log_step), inv_mass)
+        # Cross-chain pooled accept statistic drives one shared step size.
+        da = da_update(da, pooled_mean(info.accept_prob))
+        wf = jax.lax.cond(
+            mass_win,
+            lambda w: welford_update(w, qs, axis_name=axis_name),
+            lambda w: w,
+            wf,
+        )
+
+        def close_window(args):
+            da, wf, inv_mass = args
+            new_inv_mass = welford_variance(wf)
+            new_inv_mass = jnp.where(
+                jnp.isfinite(new_inv_mass) & (new_inv_mass > 0),
+                new_inv_mass,
+                inv_mass,
+            )
+            return (
+                da_init(jnp.exp(da.log_step), target_accept),
+                welford_init(dim, dtype),
+                new_inv_mass,
+            )
+
+        da, wf, inv_mass = jax.lax.cond(
+            win_end, close_window, lambda a: a, (da, wf, inv_mass)
+        )
+        return (qs, da, wf, inv_mass), info.accept_prob
+
+    def init_carry(init_params, initial_step_size):
+        da0 = da_init(
+            jnp.asarray(initial_step_size, dtype), target_accept
+        )
+        return (
+            init_params, da0, welford_init(dim, dtype),
+            jnp.ones((dim,), dtype),
+        )
+
+    def warmup_segment(data, carry, keys, mass_flags, end_flags):
+        step = lambda c, i: warmup_step(data, c, i)
+        return lax.scan(step, carry, (keys, mass_flags, end_flags))[0]
+
+    def sample_segment(data, qs, keys, step_size, inv_mass):
+        def sample_step(qs, key):
+            ks = jax.random.split(key, n_chains)
+            qs, info = vkernel(data, qs, ks, step_size, inv_mass)
+            return qs, (
+                qs, info.accept_prob, info.diverging, info.num_steps
+            )
+
+        return lax.scan(sample_step, qs, keys)
+
+    return init_carry, warmup_segment, sample_segment, pooled_mean, \
+        pooled_sum
+
+
 def sample_nuts(
     logprob_fn,
     init_params,
@@ -335,94 +439,30 @@ def sample_nuts(
     runtimes that bound single-execution wall-clock, or to interleave
     checkpointing.  Results are identical to the single-launch path.
     """
-    from .adaptation import (
-        DualAveragingState,
-        WelfordState,
-        da_init,
-        da_update,
-        da_final,
-        welford_init,
-        welford_update,
-        welford_variance,
-        window_boundaries,
-    )
+    from .adaptation import da_final, window_boundaries
 
     init_params = jnp.atleast_2d(init_params)
     n_chains, dim = init_params.shape
     dtype = init_params.dtype
 
-    kernel = lambda q, k, eps, im: nuts_kernel(
-        logprob_fn, q, k, eps, im, max_tree_depth=max_tree_depth
+    init_carry, warm_seg_fn, samp_seg_fn, pooled_mean, pooled_sum = (
+        _build_segments(
+            lambda data, th: logprob_fn(th),
+            n_chains, dim, dtype, max_tree_depth, target_accept,
+            axis_name,
+        )
     )
-    vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+    warmup_segment = lambda carry, keys, mf, ef: warm_seg_fn(
+        None, carry, keys, mf, ef
+    )
+    sample_segment = lambda qs, keys, eps, im: samp_seg_fn(
+        None, qs, keys, eps, im
+    )
 
     is_mass_window, is_window_end = window_boundaries(num_warmup)
-
-    def pooled_mean(x):
-        m = jnp.mean(x)
-        if axis_name is not None:
-            m = lax.pmean(m, axis_name)
-        return m
-
-    def pooled_sum(x):
-        s = jnp.sum(x)
-        if axis_name is not None:
-            s = lax.psum(s, axis_name)
-        return s
-
-    def warmup_step(carry, inp):
-        qs, da, wf, inv_mass = carry
-        key, mass_win, win_end = inp
-        keys = jax.random.split(key, n_chains)
-        qs, info = vkernel(qs, keys, jnp.exp(da.log_step), inv_mass)
-        # Cross-chain pooled accept statistic drives one shared step size.
-        da = da_update(da, pooled_mean(info.accept_prob))
-        wf = jax.lax.cond(
-            mass_win,
-            lambda w: welford_update(w, qs, axis_name=axis_name),
-            lambda w: w,
-            wf,
-        )
-
-        def close_window(args):
-            da, wf, inv_mass = args
-            new_inv_mass = welford_variance(wf)
-            new_inv_mass = jnp.where(
-                jnp.isfinite(new_inv_mass) & (new_inv_mass > 0),
-                new_inv_mass,
-                inv_mass,
-            )
-            return (
-                da_init(jnp.exp(da.log_step), target_accept),
-                welford_init(dim, dtype),
-                new_inv_mass,
-            )
-
-        da, wf, inv_mass = jax.lax.cond(
-            win_end, close_window, lambda a: a, (da, wf, inv_mass)
-        )
-        return (qs, da, wf, inv_mass), info.accept_prob
-
     key, k_warm = jax.random.split(key)
-    da0 = da_init(jnp.asarray(initial_step_size, dtype), target_accept)
-    wf0 = welford_init(dim, dtype)
-    carry = (init_params, da0, wf0, jnp.ones((dim,), dtype))
+    carry = init_carry(init_params, initial_step_size)
     warm_keys = jax.random.split(k_warm, num_warmup)
-
-    def warmup_segment(carry, keys, mass_flags, end_flags):
-        return lax.scan(
-            warmup_step, carry, (keys, mass_flags, end_flags)
-        )[0]
-
-    def sample_segment(qs, keys, step_size, inv_mass):
-        def sample_step(qs, key):
-            ks = jax.random.split(key, n_chains)
-            qs, info = vkernel(qs, ks, step_size, inv_mass)
-            return qs, (
-                qs, info.accept_prob, info.diverging, info.num_steps
-            )
-
-        return lax.scan(sample_step, qs, keys)
 
     if chunk_size is None:
         carry = warmup_segment(
@@ -492,7 +532,13 @@ def sample_nuts_batch(
     data_batch,
     init_params,
     key,
-    **kwargs,
+    num_warmup=500,
+    num_samples=500,
+    max_tree_depth=10,
+    target_accept=0.8,
+    initial_step_size=0.1,
+    thin=1,
+    chunk_size=None,
 ):
     """Independent NUTS fits for a batch of problems, fully vectorized.
 
@@ -501,23 +547,83 @@ def sample_nuts_batch(
     NUTS run per problem, vmapped over the problem axis, with warmup
     adaptation pooled per-problem across that problem's chains.
 
+    ``chunk_size`` composes with batching: each device launch runs at most
+    ``chunk_size`` transitions for ALL problems at once (the jitted
+    per-chunk segment is vmapped over the problem axis; the chunk loop is
+    a host loop carrying the state pytree) — required on runtimes that
+    bound single-execution wall-clock.
+
     Args:
         logprob_fn: ``(data, theta) -> log prob`` for a single problem.
         data_batch: pytree whose leaves have leading dim B (one slice per
             problem).
         init_params: (B, n_chains, dim) initial positions.
         key: PRNG key (split across problems internally).
-        kwargs: forwarded to :func:`sample_nuts`.
 
-    Returns (chains, infos): chains (B, n_chains, num_samples, dim);
-    infos is a dict of per-problem arrays.
+    Returns (chains, infos): chains (B, n_chains, num_samples // thin,
+    dim); infos is a dict of per-problem arrays.
     """
-    b = init_params.shape[0]
-    keys = jax.random.split(key, b)
+    from .adaptation import da_final, window_boundaries
 
-    def one(data, init, key):
-        return sample_nuts(
-            lambda th: logprob_fn(data, th), init, key, **kwargs
+    b, n_chains, dim = init_params.shape
+    dtype = init_params.dtype
+
+    if chunk_size is None:
+        keys = jax.random.split(key, b)
+
+        def one(data, init, key):
+            return sample_nuts(
+                lambda th: logprob_fn(data, th), init, key,
+                num_warmup=num_warmup, num_samples=num_samples,
+                max_tree_depth=max_tree_depth,
+                target_accept=target_accept,
+                initial_step_size=initial_step_size, thin=thin,
+            )
+
+        return jax.vmap(one)(data_batch, init_params, keys)
+
+    init_carry, warm_seg, samp_seg, _, _ = _build_segments(
+        logprob_fn, n_chains, dim, dtype, max_tree_depth, target_accept
+    )
+    vwarm = jax.jit(jax.vmap(warm_seg, in_axes=(0, 0, 0, None, None)))
+    vsamp = jax.jit(jax.vmap(samp_seg, in_axes=(0, 0, 0, 0, 0)))
+
+    is_mass_window, is_window_end = window_boundaries(num_warmup)
+    key, k_warm, k_samp = jax.random.split(key, 3)
+    warm_keys = jax.random.split(k_warm, (b, num_warmup))
+    samp_keys = jax.random.split(k_samp, (b, num_samples))
+
+    carry = jax.vmap(lambda q: init_carry(q, initial_step_size))(
+        init_params
+    )
+    for lo in range(0, num_warmup, chunk_size):
+        hi = min(lo + chunk_size, num_warmup)
+        carry = vwarm(
+            data_batch, carry, warm_keys[:, lo:hi],
+            is_mass_window[lo:hi], is_window_end[lo:hi],
         )
+    qs, da, wf, inv_mass = carry
+    step_size = jax.vmap(da_final)(da)
 
-    return jax.vmap(one)(data_batch, init_params, keys)
+    chains, accepts, divs, steps_l = [], [], [], []
+    for lo in range(0, num_samples, chunk_size):
+        hi = min(lo + chunk_size, num_samples)
+        qs, (c, a, d, s) = vsamp(
+            data_batch, qs, samp_keys[:, lo:hi], step_size, inv_mass
+        )
+        chains.append(c)
+        accepts.append(jnp.sum(a, axis=(1, 2)))
+        divs.append(jnp.sum(d, axis=(1, 2)))
+        steps_l.append(jnp.sum(s, axis=(1, 2)))
+
+    # Per chunk c is (B, chunk, n_chains, dim).
+    chain = jnp.concatenate(chains, axis=1)
+    chain = jnp.swapaxes(chain, 1, 2)[:, :, ::thin]
+    info = {
+        "step_size": step_size,
+        "inv_mass": inv_mass,
+        "accept_prob": sum(accepts) / (num_samples * n_chains),
+        "divergences": sum(divs),
+        "num_steps": sum(steps_l),
+    }
+    return chain, info

@@ -259,9 +259,9 @@ def _kernel(u_ref, v_ref, ph_ref, a_ref, y_ref,
             - 2.0 * jnp.sum(qv[:] * h, axis=0, keepdims=True)
             + jnp.sum(h * Qh, axis=0, keepdims=True)
         )
-        quad_out[0, 0] = jnp.sum(quad_b)
-        ld_out[0, 0] = jnp.sum(ld[:] + cld[:])
-        mind_out[0, 0] = jnp.min(mind[:])
+        quad_out[:] = jnp.sum(quad_b).reshape(1, 1)
+        ld_out[:] = jnp.sum(ld[:] + cld[:]).reshape(1, 1)
+        mind_out[:] = jnp.min(mind[:]).reshape(1, 1)
 
 
 def _to_lanes(ssm: SSM, resid, num_blocks):

@@ -60,12 +60,20 @@ def lower(
     A_gen: Optional[jnp.ndarray] = None,
     U_gen: Optional[jnp.ndarray] = None,
     V_gen: Optional[jnp.ndarray] = None,
+    dt: Optional[jnp.ndarray] = None,
+    t_lo: Optional[jnp.ndarray] = None,
 ) -> SSM:
     """Build the (U, V, phi, A) arrays for sorted input coordinates ``t``.
 
     ``diag`` is the per-point variance added to the diagonal (yerr**2).
     Optional general semiseparable blocks follow the reference convention:
     ``A_gen`` is (N,), ``U_gen``/``V_gen`` are (J_general, N).
+
+    Accuracy options for f32 (both static per dataset, see ops/ds.py):
+    ``dt``: precomputed spacings (dt[0] == 0) — differencing a rounded f32
+    ``t`` loses up to percent-level relative accuracy on the spacings;
+    ``t_lo``: the low part of a double-single split of ``t``, enabling
+    exact-mod-2pi phase reduction for the oscillatory terms.
     """
     a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
     t = jnp.asarray(t)
@@ -73,7 +81,10 @@ def lower(
     dtype = jnp.result_type(t.dtype, a_real.dtype, jnp.float32)
     t = t.astype(dtype)
 
-    dt = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t)])
+    if dt is None:
+        dt = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t)])
+    else:
+        dt = jnp.asarray(dt, dtype)
 
     # Real block.
     u_r = jnp.broadcast_to(a_real.astype(dtype), (n, a_real.shape[0]))
@@ -82,8 +93,16 @@ def lower(
 
     # Complex block: interleave the (cos, sin) channel pair per term so the
     # layout matches the reference ordering (real, then complex pairs).
-    arg = d_comp.astype(dtype) * t[:, None]
-    cos, sin = jnp.cos(arg), jnp.sin(arg)
+    if t_lo is not None:
+        from . import ds
+
+        r_hi, r_lo = ds.reduced_angle(
+            d_comp.astype(dtype), t[:, None], t_lo.astype(dtype)[:, None]
+        )
+        cos, sin = ds.ds_cos_sin(r_hi, r_lo)
+    else:
+        arg = d_comp.astype(dtype) * t[:, None]
+        cos, sin = jnp.cos(arg), jnp.sin(arg)
     a_c = a_comp.astype(dtype)
     b_c = b_comp.astype(dtype)
     u_c = jnp.stack([a_c * cos + b_c * sin, a_c * sin - b_c * cos], -1)

@@ -289,9 +289,9 @@ def _jac_kernel(u_ref, v_ref, ph_ref, a_ref, y_ref,
             - 2.0 * jnp.sum(qv[:] * h, axis=-2, keepdims=True)
             + jnp.sum(h * Qh, axis=-2, keepdims=True)
         )
-        quad_out[0, 0] = jnp.sum(quad_b)
-        ld_out[0, 0] = jnp.sum(ld[:] + cld[:])
-        mind_out[0, 0] = jnp.min(mind[:])
+        quad_out[:] = jnp.sum(quad_b).reshape(1, 1)
+        ld_out[:] = jnp.sum(ld[:] + cld[:]).reshape(1, 1)
+        mind_out[:] = jnp.min(mind[:]).reshape(1, 1)
 
         # d(h^T Qm h) = 2 Qh . Dh + h^T DQm h (Qm symmetric).
         hDQh = jnp.sum(_bi(h) * DQm[:] * _bj(h), axis=(-3, -2))[

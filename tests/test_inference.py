@@ -289,3 +289,24 @@ def test_smc_host_loop_matches():
         np.asarray(r1.particles), np.asarray(r2.particles), atol=1e-10
     )
     assert int(r1.num_stages) == int(r2.num_stages)
+
+
+def test_sample_nuts_batch_chunked():
+    """chunk_size composes with batching (VERDICT r1 weak item 4)."""
+    from celerite_tpu.inference.nuts import sample_nuts_batch
+
+    mus = jnp.asarray([[0.0, 0.0], [3.0, -1.0], [-2.0, 2.0]])
+
+    def logprob(mu, th):
+        return -0.5 * jnp.sum((th - mu) ** 2)
+
+    rng = np.random.default_rng(0)
+    init = jnp.asarray(rng.standard_normal((3, 4, 2)))
+    chains, infos = sample_nuts_batch(
+        logprob, mus, init, jax.random.PRNGKey(0),
+        num_warmup=150, num_samples=150, chunk_size=40,
+    )
+    assert chains.shape == (3, 4, 150, 2)
+    assert infos["step_size"].shape == (3,)
+    means = np.asarray(chains).reshape(3, -1, 2).mean(1)
+    np.testing.assert_allclose(means, np.asarray(mus), atol=0.25)

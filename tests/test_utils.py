@@ -36,3 +36,64 @@ def test_debug_mode_restores():
     with debug_mode(nans=True):
         assert jax.config.jax_debug_nans
     assert jax.config.jax_debug_nans == before
+
+
+def test_ds_lowering_accuracy():
+    """f32 lowering with static ds time grid vs the f64 lowering.
+
+    Without dt/t_lo, f32 spacings carry up to percent-level relative error
+    (differencing a rounded t) and phases ~1e-4 rad absolute error at
+    |d t| ~ 1e4; the ds path recovers ~1e-7 on both (ops/ds.py).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from celerite_tpu.ops.ds import host_ds
+    from celerite_tpu.ops.lower import Coefficients, lower
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    t64 = np.sort(rng.uniform(0, 1000.0, n))
+    diag = np.full(n, 1e-2)
+
+    def coeffs(dtype):
+        return Coefficients(
+            a_real=jnp.asarray([0.7], dtype),
+            c_real=jnp.asarray([0.3], dtype),
+            a_comp=jnp.asarray([1.1], dtype),
+            b_comp=jnp.asarray([0.4], dtype),
+            c_comp=jnp.asarray([0.8], dtype),
+            d_comp=jnp.asarray([11.0], dtype),
+            jitter=jnp.zeros((), dtype),
+        )
+
+    ssm64 = lower(coeffs(jnp.float64), jnp.asarray(t64),
+                  jnp.asarray(diag))
+
+    t_hi, t_lo = host_ds(t64)
+    dt32 = np.concatenate([[0.0], np.diff(t64)]).astype(np.float32)
+    ssm_ds = lower(
+        coeffs(jnp.float32), jnp.asarray(t_hi),
+        jnp.asarray(diag, jnp.float32),
+        dt=jnp.asarray(dt32), t_lo=jnp.asarray(t_lo),
+    )
+    ssm_naive = lower(
+        coeffs(jnp.float32), jnp.asarray(t_hi),
+        jnp.asarray(diag, jnp.float32),
+    )
+
+    # Phases: ds error ~1e-7; naive error ~|d t| * eps32 ~ 1e-3.
+    err_ds = np.max(np.abs(np.asarray(ssm_ds.V, np.float64)
+                           - np.asarray(ssm64.V)))
+    err_naive = np.max(np.abs(np.asarray(ssm_naive.V, np.float64)
+                              - np.asarray(ssm64.V)))
+    assert err_ds < 5e-7, err_ds
+    assert err_ds < err_naive / 50, (err_ds, err_naive)
+
+    # Decay factors: exact spacings remove the differencing error.
+    rel_ds = np.max(np.abs(np.asarray(ssm_ds.phi, np.float64)
+                           / np.asarray(ssm64.phi) - 1))
+    rel_naive = np.max(np.abs(np.asarray(ssm_naive.phi, np.float64)
+                              / np.asarray(ssm64.phi) - 1))
+    assert rel_ds < 5e-7, rel_ds
+    assert rel_ds < rel_naive / 50, (rel_ds, rel_naive)

@@ -309,6 +309,108 @@ class GP(ModelSet):
         U_gen = jnp.asarray(self._U) if has_general else None
         V_gen = jnp.asarray(self._V) if has_general else None
 
+        # Lane-layout hot path: for the fused solver without general
+        # blocks, precompute the static (L, P, B) grid once so every
+        # evaluation is pure elementwise lowering + the kernel — no
+        # per-eval transposes (ops/lanes.py).
+        _pr, _pc = kernel.padded_size
+        use_lanes = (
+            solver == "fused"
+            and not has_general
+            and (_pr + 2 * _pc) > 0
+        )
+        if use_lanes:
+            from .ops import fused as _fused
+            from .ops import lanes as _lanes
+
+            n_pts = int(t.shape[0])
+            if block_size is not None:
+                nb = block_size
+            elif fast_grad:
+                # The tangent-augmented kernel carries T extra state
+                # copies in VMEM; both kernels share the plan's layout.
+                from .ops import tangent as _tan
+
+                nb = _tan.default_jac_blocks(
+                    n_pts, _pr + 2 * _pc, max(int(mask.sum()), 1)
+                )
+            else:
+                nb = _fused.default_num_blocks(n_pts)
+            plan = _lanes.make_plan(
+                t_np, np.asarray(y, np.float64),
+                np.asarray(diag, np.float64), nb,
+                dtype=np.dtype(t.dtype),
+            )
+            on_tpu = jax.default_backend() == "tpu"
+
+            def make_lane_inputs(theta):
+                full = fixed.at[idx].set(theta) if len(idx) else fixed
+                kp, mp = full[:nk], full[nk:]
+                coeffs = Coefficients(
+                    *kernel.get_padded_coefficients(kp),
+                    jitter=kernel.get_jitter(kp),
+                )
+                u, v, ph, a = _lanes.lower_lanes(coeffs, plan)
+                yl = plan.y - mean_fn(mp, plan.t) * plan.mask
+                return u, v, ph, a, yl
+
+            def lanes_primal(theta):
+                u, v, ph, a, yl = make_lane_inputs(theta)
+                return _fused.run_kernel(
+                    u, v, ph, a, yl, plan.n, interpret=not on_tpu
+                )
+
+            @jax.custom_vjp
+            def loglik_lanes(theta):
+                return lanes_primal(theta)
+
+            def _lfwd(theta):
+                return lanes_primal(theta), theta
+
+            def _lbwd(theta, g):
+                g_ll, _ = g
+                if fast_grad and on_tpu:
+                    _, _, dll = _lanes.gp_log_likelihood_jac(
+                        make_lane_inputs, theta, plan.n
+                    )
+                    return (g_ll * dll,)
+
+                from .ops import blocked as _blocked
+
+                def ll_only(th):
+                    full = fixed.at[idx].set(th) if len(idx) else fixed
+                    kp, mp = full[:nk], full[nk:]
+                    coeffs = Coefficients(
+                        *kernel.get_padded_coefficients(kp),
+                        jitter=kernel.get_jitter(kp),
+                    )
+                    resid = y - mean_fn(mp, t)
+                    ssm = lower(coeffs, t, diag, **lower_kw)
+                    return _blocked.gp_log_likelihood(ssm, resid)[0]
+
+                _, vjp = jax.vjp(ll_only, theta)
+                return (vjp(g_ll)[0],)
+
+            loglik_lanes.defvjp(_lfwd, _lbwd)
+
+            def _value_ok_grad(theta):
+                """One-pass (ll, ok, grad) via the tangent-augmented
+                kernel — skips the separate primal of the custom-VJP
+                route (samplers consume this via the ``value_and_grad``
+                attribute)."""
+                if on_tpu:
+                    ll, ok, dll = _lanes.gp_log_likelihood_jac(
+                        make_lane_inputs, theta, plan.n
+                    )
+                    return ll, ok, dll
+                (ll, ok), grad = jax.value_and_grad(
+                    loglik_lanes, has_aux=True
+                )(theta)
+                return ll, ok, grad
+
+            loglik_lanes.value_ok_grad = _value_ok_grad
+            return loglik_lanes
+
         def loglik(theta):
             full = fixed.at[idx].set(theta) if len(idx) else fixed
             kp, mp = full[:nk], full[nk:]
@@ -390,14 +492,20 @@ class GP(ModelSet):
         return loglik_fast
 
     def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
-                      solver="auto", block_size=None):
+                      solver="auto", block_size=None, fast_grad=False):
         """Pure ``theta -> log posterior`` (ll + prior), -inf-safe.
 
         ``log_prior`` defaults to a traceable box prior built from the
         parameter bounds (the modeling protocol's log_prior semantics).
+
+        With ``fast_grad=True`` (and the fused lane path available) the
+        returned closure carries a ``value_and_grad`` attribute that
+        computes (logprob, grad) in a single tangent-augmented kernel
+        pass; the NUTS/HMC kernels use it automatically.
         """
         ll_fn = self.build_loglik(
-            t, y, yerr=yerr, solver=solver, block_size=block_size
+            t, y, yerr=yerr, solver=solver, block_size=block_size,
+            fast_grad=fast_grad,
         )
         if log_prior is None:
             bounds = self.get_parameter_bounds()
@@ -417,6 +525,20 @@ class GP(ModelSet):
             ll, ok = ll_fn(theta)
             total = lp + jnp.where(ok, ll, -jnp.inf)
             return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+        vog = getattr(ll_fn, "value_ok_grad", None)
+        if fast_grad and vog is not None:
+
+            def value_and_grad(theta):
+                lp, dlp = jax.value_and_grad(log_prior)(theta)
+                ll, ok, dll = vog(theta)
+                total = lp + jnp.where(ok, ll, -jnp.inf)
+                bad = ~jnp.isfinite(total)
+                total = jnp.where(bad, -jnp.inf, total)
+                grad = jnp.where(bad, 0.0, dlp + dll)
+                return total, grad
+
+            logprob.value_and_grad = value_and_grad
 
         return logprob
 
@@ -490,6 +612,23 @@ class GP(ModelSet):
         mu = self.mean.get_value(xs) + np.asarray(alpha)
         if not (return_var or return_cov):
             return mu
+
+        if return_var and not len(self._A):
+            # O((N+M) p^2) Kalman/RTS variance replaces the reference's
+            # dense O(N M) build (celerite.py:460-469) whenever the
+            # kernel admits a Gauss-Markov realization (ops/smoother.py).
+            from .ops.lower import Coefficients as _C
+            from .ops import smoother as _sm
+
+            coeffs = _C(
+                *[jnp.asarray(c) for c in self.kernel.coefficients],
+                jitter=jnp.asarray(self.kernel.jitter),
+            )
+            if _sm.realize(coeffs) is not None:
+                _, var = _sm.predict_var(
+                    coeffs, self._t, self._yerr**2, resid, xs
+                )
+                return mu, var
 
         Kxs = self.get_matrix(xs, self._t)
         KxsT = np.ascontiguousarray(Kxs.T, dtype=np.float64)

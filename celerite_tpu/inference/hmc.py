@@ -38,8 +38,12 @@ def hmc_kernel(
     inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
 
+    vag = getattr(
+        logprob_fn, "value_and_grad", jax.value_and_grad(logprob_fn)
+    )
+
     p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
-    logp0, grad0 = jax.value_and_grad(logprob_fn)(q)
+    logp0, grad0 = vag(q)
     h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
 
     n_steps = jnp.asarray(num_leapfrog, jnp.int32)
@@ -54,7 +58,7 @@ def hmc_kernel(
         qq, pp, gg = carry
         pp = pp + 0.5 * eps * gg  # gg = grad logp
         qq = qq + eps * inv_mass * pp
-        lp, gg = jax.value_and_grad(logprob_fn)(qq)
+        lp, gg = vag(qq)
         pp = pp + 0.5 * eps * gg
         return (qq, pp, gg)
 

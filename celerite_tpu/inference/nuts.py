@@ -67,8 +67,16 @@ def nuts_kernel(
     eps = jnp.asarray(step_size, dtype)
     inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
 
+    # A logprob_fn carrying a ``value_and_grad`` attribute supplies both
+    # in one pass (e.g. the tangent-augmented fused kernel of
+    # GP.build_logprob(fast_grad=True)); otherwise fall back to AD.
+    vag = getattr(logprob_fn, "value_and_grad", None)
+
     def grad_fn(q):
-        logp, g = jax.value_and_grad(logprob_fn)(q)
+        if vag is not None:
+            logp, g = vag(q)
+        else:
+            logp, g = jax.value_and_grad(logprob_fn)(q)
         return -g, logp  # gradient of potential U = -logp
 
     key, k_mom = jax.random.split(key)

@@ -25,12 +25,13 @@ computes everything in f64 on CPU, cholesky.h:129-152.)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
     "two_sum", "split", "two_prod", "host_ds", "reduced_angle",
-    "ds_cos_sin",
+    "ds_cos_sin", "accurate_exp",
 ]
 
 
@@ -73,12 +74,17 @@ def host_ds(x64, dtype=np.float32):
     return hi, lo
 
 
+@jax.custom_jvp
 def reduced_angle(d, t_hi, t_lo):
     """(d * t) mod 2 pi as a ds pair with |r_hi| <= ~pi.
 
     ``d`` broadcasts against ``t_hi``/``t_lo`` (typically (J,) x (N, 1)).
     Valid while the reduction integer k = round(d t / 2 pi) stays exactly
     representable (k < 2^23 in f32, i.e. d * t < ~5e7 rad).
+
+    Custom JVP: the reduction integer is locally constant, so
+    d(r)/d(d) = t exactly — the tangent skips the whole two-float chain
+    (tangents do not need phase-exact precision, only values do).
     """
     dtype = np.dtype(t_hi.dtype)
     pi2 = 2.0 * np.pi
@@ -95,8 +101,66 @@ def reduced_angle(d, t_hi, t_lo):
     return two_sum(r_hi, r_lo)
 
 
+@reduced_angle.defjvp
+def _reduced_angle_jvp(primals, tangents):
+    d, t_hi, t_lo = primals
+    dd, dth, dtl = tangents
+    out = reduced_angle(d, t_hi, t_lo)
+    t = t_hi + t_lo
+    dr = dd * t + d * (dth + dtl)
+    return out, (dr, jnp.zeros_like(out[1]))
+
+
 def ds_cos_sin(r_hi, r_lo):
     """cos/sin of a ds angle: first-order correction on the lo part."""
     c = jnp.cos(r_hi)
     s = jnp.sin(r_hi)
     return c - r_lo * s, s + r_lo * c
+
+
+@jax.custom_jvp
+def accurate_exp(x):
+    """f32 exp accurate to ~2-3 ulp (TPU's built-in is ~30 ulp).
+
+    Measured on v5e: jnp.exp carries ~1.9e-6 relative error — systematic
+    across the million decay factors phi = exp(-c dt), it amplifies to
+    ~8e-3 relative log-likelihood error at N=1e6 (benchmarks/
+    sweep_fused.py).  Standard exp construction: ds-exact reduction
+    x = (k + r) ln 2 with k integer, 2^k by exponent-field bitcast
+    (exact), 2^r via an f32 Taylor series of exp(r ln 2), |r| <= 0.5.
+
+    f32 only; pass f64 straight through (already correctly rounded on
+    CPU).
+    """
+    if x.dtype != jnp.float32:
+        return jnp.exp(x)
+    log2e = 1.4426950408889634
+    l2e_hi = np.float32(log2e)
+    l2e_lo = np.float32(log2e - np.float64(l2e_hi))
+    p_hi, p_err = two_prod(x, jnp.asarray(l2e_hi))
+    k = jnp.round(p_hi)
+    # p_hi - k is exact (Sterbenz); fold in the exact product error and
+    # the lo half of log2(e).
+    r = (p_hi - k) + (p_err + x * l2e_lo)
+    q = r * np.float32(np.log(2.0))
+    # exp(q), |q| <= 0.347: degree-8 Taylor, truncation < 1e-10.
+    e = jnp.float32(1.0)
+    for n in (8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0):
+        e = 1.0 + (q / np.float32(n)) * e
+    # 2^k for integer k in [-126, 127]: build the float directly.
+    ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        (ki + 127) << 23, jnp.float32
+    )
+    out = e * scale
+    # Flush the clipped deep-underflow tail to 0 (exp(-88) ~ f32 tiny).
+    return jnp.where(x < -87.0, 0.0, out)
+
+
+@accurate_exp.defjvp
+def _accurate_exp_jvp(primals, tangents):
+    # Tangent = exp(x) dx in one multiply instead of linearizing the
+    # whole reduction/Taylor chain (tangents need f32, not ds, accuracy).
+    (x,), (dx,) = primals, tangents
+    e = accurate_exp(x)
+    return e, e * dx

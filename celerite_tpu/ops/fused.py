@@ -288,13 +288,14 @@ def _to_lanes(ssm: SSM, resid, num_blocks):
     return tm(U), tm(V), tm(phi), tm1(A), tm1(resid), L
 
 
-def _gp_log_likelihood_impl(ssm: SSM, resid, num_blocks=None,
-                            interpret=False):
-    n, p = ssm.U.shape
-    b = num_blocks or default_num_blocks(n)
-    if b & (b - 1):
-        raise ValueError("num_blocks must be a power of two")
-    u, v, ph, a, y, L = _to_lanes(ssm, resid, b)
+def run_kernel(u, v, ph, a, y, n, interpret=False):
+    """Invoke the fused kernel on pre-laned (L, P, B) inputs.
+
+    Returns (ll, ok).  ``n`` is the unpadded point count (for the 2 pi
+    normalization).  No AD rule — wrap via gp_log_likelihood or supply
+    your own (ops/lanes.py, ops/tangent.py).
+    """
+    L, p, b = u.shape
     dtype = u.dtype
 
     step = pl.BlockSpec((1, p, b), lambda ph_, i: (i, 0, 0),
@@ -334,6 +335,16 @@ def _gp_log_likelihood_impl(ssm: SSM, resid, num_blocks=None,
     )
     ok = (mind[0, 0] > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf), ok
+
+
+def _gp_log_likelihood_impl(ssm: SSM, resid, num_blocks=None,
+                            interpret=False):
+    n, p = ssm.U.shape
+    b = num_blocks or default_num_blocks(n)
+    if b & (b - 1):
+        raise ValueError("num_blocks must be a power of two")
+    u, v, ph, a, y, L = _to_lanes(ssm, resid, b)
+    return run_kernel(u, v, ph, a, y, n, interpret=interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -86,10 +86,15 @@ def lower(
     else:
         dt = jnp.asarray(dt, dtype)
 
+    # f32 decay factors go through the compensated exp: the hardware
+    # f32 exp's ~30-ulp systematic error dominates the N=1e6 ll error
+    # budget (ops/ds.accurate_exp; no-op in f64).
+    from .ds import accurate_exp
+
     # Real block.
     u_r = jnp.broadcast_to(a_real.astype(dtype), (n, a_real.shape[0]))
     v_r = jnp.ones((n, a_real.shape[0]), dtype)
-    p_r = jnp.exp(-c_real.astype(dtype) * dt[:, None])
+    p_r = accurate_exp(-c_real.astype(dtype) * dt[:, None])
 
     # Complex block: interleave the (cos, sin) channel pair per term so the
     # layout matches the reference ordering (real, then complex pairs).
@@ -107,7 +112,7 @@ def lower(
     b_c = b_comp.astype(dtype)
     u_c = jnp.stack([a_c * cos + b_c * sin, a_c * sin - b_c * cos], -1)
     v_c = jnp.stack([cos, sin], -1)
-    p_half = jnp.exp(-c_comp.astype(dtype) * dt[:, None])
+    p_half = accurate_exp(-c_comp.astype(dtype) * dt[:, None])
     p_c = jnp.stack([p_half, p_half], -1)
     jc = a_comp.shape[0]
     u_c = u_c.reshape(n, 2 * jc)

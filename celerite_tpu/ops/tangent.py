@@ -293,18 +293,21 @@ def _jac_kernel(u_ref, v_ref, ph_ref, a_ref, y_ref,
         ld_out[:] = jnp.sum(ld[:] + cld[:]).reshape(1, 1)
         mind_out[:] = jnp.min(mind[:]).reshape(1, 1)
 
-        # d(h^T Qm h) = 2 Qh . Dh + h^T DQm h (Qm symmetric).
-        hDQh = jnp.sum(_bi(h) * DQm[:] * _bj(h), axis=(-3, -2))[
-            ..., None, :
-        ]
+        # d(h^T Qm h) = 2 Qh . Dh + h^T DQm h (Qm symmetric).  Reductions
+        # stay keepdims-shaped: Mosaic's layout inference rejects
+        # rank-changing reshapes through rank-1.
+        hDQh = jnp.sum(
+            jnp.sum(_bi(h) * DQm[:] * _bj(h), axis=-3),
+            axis=-2, keepdims=True,
+        )
         dquad_b = (
             Dq0[:]
             - 2.0 * jnp.sum(Dqv[:] * h + qv[:] * Dh, axis=-2, keepdims=True)
             + 2.0 * jnp.sum(Qh * Dh, axis=-2, keepdims=True)
             + hDQh
         )
-        dquad_out[:] = jnp.sum(dquad_b, axis=(-2, -1))[:, None]
-        dld_out[:] = jnp.sum(Dld[:], axis=(-2, -1))[:, None]
+        dquad_out[:] = jnp.sum(dquad_b, axis=-1)
+        dld_out[:] = jnp.sum(Dld[:], axis=-1)
 
 
 def _to_lanes_tan(x, num_blocks, L, pad, pad_value=0.0):
@@ -321,42 +324,34 @@ def _to_lanes_tan(x, num_blocks, L, pad, pad_value=0.0):
     return x.reshape(tdim, b, L, p).transpose(2, 0, 3, 1)
 
 
-def gp_log_likelihood_jac(ssm: SSM, resid, dssm: SSM, dresid,
-                          num_blocks=None, interpret=False):
-    """Fused primal + T-direction forward-mode jacobian of the GP ll.
+def default_jac_blocks(n, p, tdim):
+    """Largest power-of-two lane count that keeps the jac kernel in VMEM.
 
-    ``dssm`` / ``dresid`` carry a leading tangent axis T on every array.
-    Returns ``(ll, ok, dll)`` with ``dll`` of shape (T,).
+    Empirical model anchored on v5e: P=4, T=3, B=4096 needs ~25 MB of
+    scoped VMEM (sublane padding inflates every (T, P, P, B) scratch to
+    sublane multiples of 8); budget ~11 MB of the 16 MB limit.
     """
-    n, p = ssm.U.shape
-    tdim = dresid.shape[0]
-    b = num_blocks or default_num_blocks(n)
-    if b & (b - 1):
-        raise ValueError("num_blocks must be a power of two")
-    L = -(-n // b)
-    pad = b * L - n
+    # Anchors (v5e scoped-VMEM reports): T=3, P=4, B=4096 -> 6.04 KB/lane;
+    # T=7, P=8, B=512 -> 48.8 KB/lane.  Both fit 1536 (1+T) (P/4)^2.
+    per_lane = 1536.0 * (1 + tdim) * (max(p, 4) / 4.0) ** 2
+    b = 4096
+    while b > 128 and b * per_lane > 11e6:
+        b //= 2
+    from .fused import default_num_blocks
 
-    U, V, phi, A, y = ssm.U, ssm.V, ssm.phi, ssm.A, resid
-    if pad:
-        zU = jnp.zeros((pad, p), U.dtype)
-        U = jnp.concatenate([U, zU])
-        V = jnp.concatenate([V, zU])
-        phi = jnp.concatenate([phi, jnp.ones((pad, p), U.dtype)])
-        A = jnp.concatenate([A, jnp.ones((pad,), A.dtype)])
-        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+    return min(b, default_num_blocks(n))
 
-    def tm(x):
-        return x.reshape(b, L, p).transpose(1, 2, 0)
 
-    def tm1(x):
-        return x.reshape(b, L).transpose(1, 0)[:, None, :]
+def run_jac_kernel(u, v, ph, a, y, du, dv, dph, da, dy, n,
+                   interpret=False):
+    """Invoke the tangent-augmented kernel on pre-laned inputs.
 
-    du = _to_lanes_tan(dssm.U, b, L, pad)
-    dv = _to_lanes_tan(dssm.V, b, L, pad)
-    dph = _to_lanes_tan(dssm.phi, b, L, pad)
-    da = _to_lanes_tan(dssm.A, b, L, pad)
-    dy = _to_lanes_tan(dresid, b, L, pad)
-    dtype = U.dtype
+    Primal arrays are (L, P, B)/(L, 1, B); tangent arrays are
+    (L, T, P, B)/(L, T, 1, B).  Returns (ll, ok, dll (T,)).
+    """
+    L, p, b = u.shape
+    tdim = du.shape[1]
+    dtype = u.dtype
 
     stepP = pl.BlockSpec((1, p, b), lambda ph_, i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -408,7 +403,7 @@ def gp_log_likelihood_jac(ssm: SSM, resid, dssm: SSM, dresid,
             pltpu.VMEM((tdim, 1, b), dtype),     # Dld
         ],
         interpret=interpret,
-    )(tm(U), tm(V), tm(phi), tm1(A), tm1(y), du, dv, dph, da, dy)
+    )(u, v, ph, a, y, du, dv, dph, da, dy)
 
     quad, ld_, mind, dquad, dld = out
     ll = -0.5 * (
@@ -417,3 +412,44 @@ def gp_log_likelihood_jac(ssm: SSM, resid, dssm: SSM, dresid,
     ok = (mind[0, 0] > 0) & jnp.isfinite(ll)
     dll = -0.5 * (dquad[:, 0] + dld[:, 0])
     return jnp.where(ok, ll, -jnp.inf), ok, dll
+
+
+def gp_log_likelihood_jac(ssm: SSM, resid, dssm: SSM, dresid,
+                          num_blocks=None, interpret=False):
+    """Fused primal + T-direction forward-mode jacobian of the GP ll.
+
+    ``dssm`` / ``dresid`` carry a leading tangent axis T on every array.
+    Returns ``(ll, ok, dll)`` with ``dll`` of shape (T,).
+    """
+    n, p = ssm.U.shape
+    b = num_blocks or default_num_blocks(n)
+    if b & (b - 1):
+        raise ValueError("num_blocks must be a power of two")
+    L = -(-n // b)
+    pad = b * L - n
+
+    U, V, phi, A, y = ssm.U, ssm.V, ssm.phi, ssm.A, resid
+    if pad:
+        zU = jnp.zeros((pad, p), U.dtype)
+        U = jnp.concatenate([U, zU])
+        V = jnp.concatenate([V, zU])
+        phi = jnp.concatenate([phi, jnp.ones((pad, p), U.dtype)])
+        A = jnp.concatenate([A, jnp.ones((pad,), A.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+
+    def tm(x):
+        return x.reshape(b, L, p).transpose(1, 2, 0)
+
+    def tm1(x):
+        return x.reshape(b, L).transpose(1, 0)[:, None, :]
+
+    du = _to_lanes_tan(dssm.U, b, L, pad)
+    dv = _to_lanes_tan(dssm.V, b, L, pad)
+    dph = _to_lanes_tan(dssm.phi, b, L, pad)
+    da = _to_lanes_tan(dssm.A, b, L, pad)
+    dy = _to_lanes_tan(dresid, b, L, pad)
+
+    return run_jac_kernel(
+        tm(U), tm(V), tm(phi), tm1(A), tm1(y), du, dv, dph, da, dy, n,
+        interpret=interpret,
+    )

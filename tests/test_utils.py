@@ -97,3 +97,30 @@ def test_ds_lowering_accuracy():
                               / np.asarray(ssm64.phi) - 1))
     assert rel_ds < 5e-7, rel_ds
     assert rel_ds < rel_naive / 50, (rel_ds, rel_naive)
+
+
+def test_accurate_exp():
+    """Compensated f32 exp: ~2-3 ulp over the decay-factor range."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from celerite_tpu.ops.ds import accurate_exp
+
+    rng = np.random.default_rng(1)
+    x64 = -np.concatenate([
+        rng.uniform(1e-6, 3e-3, 20000),
+        rng.uniform(1e-3, 5.0, 20000),
+        rng.uniform(5.0, 80.0, 5000),
+        [0.0, 87.5, 100.0, 700.0],
+    ])
+    x32 = x64.astype(np.float32)
+    got = np.asarray(jax.jit(accurate_exp)(jnp.asarray(x32)), np.float64)
+    ref = np.exp(np.float64(x32))
+    rel = np.abs(got - ref) / np.maximum(ref, 1e-38)
+    mask = ref > 1e-30  # skip the flushed deep-underflow tail
+    assert np.max(rel[mask]) < 5e-7, np.max(rel[mask])
+    assert got[x32 < -87.5].max(initial=0.0) == 0.0
+    # f64 passes straight through.
+    g64 = np.asarray(accurate_exp(jnp.asarray(x64)))
+    np.testing.assert_allclose(g64, np.exp(x64), rtol=1e-15)

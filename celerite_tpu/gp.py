@@ -243,12 +243,14 @@ class GP(ModelSet):
         "pallas" (fused TPU kernels), or "auto" (seq below 4096 points,
         blocked above — the sequential scan is latency-bound at large N).
 
-        ``fast_grad``: wrap the closure in a custom VJP whose backward is
-        forward-mode over the (few) parameters instead of reverse-mode
-        over the N-point recursions.  With d parameters the gradient then
-        costs ~(1 + d/2) forward passes instead of a full reverse sweep —
-        a large win for the big-N blocked/pallas paths (the reference's
-        forward-mode coefficient AD had the same insight, solver.cpp:347).
+        ``fast_grad``: wrap the closure in a custom VJP backed by the
+        hand-written Pallas gradient kernels.  ``True`` (default mode)
+        uses the analytic adjoint pair (ops/adjoint.py): one forward
+        sweep streaming the recursion state + one reverse sweep — cost
+        independent of the parameter count.  ``"tangent"`` uses the
+        tangent-augmented forward-mode kernel (ops/tangent.py), which
+        carries one extra state slot per parameter (the reference's
+        forward-mode coefficient AD design, solver.cpp:347).
         """
         t_np = np.atleast_1d(np.asarray(t, dtype=np.float64))
         t = jnp.asarray(t_np, dtype=jnp.result_type(float))
@@ -326,7 +328,7 @@ class GP(ModelSet):
             n_pts = int(t.shape[0])
             if block_size is not None:
                 nb = block_size
-            elif fast_grad:
+            elif fast_grad == "tangent":
                 # The tangent-augmented kernel carries T extra state
                 # copies in VMEM; both kernels share the plan's layout.
                 from .ops import tangent as _tan
@@ -334,6 +336,10 @@ class GP(ModelSet):
                 nb = _tan.default_jac_blocks(
                     n_pts, _pr + 2 * _pc, max(int(mask.sum()), 1)
                 )
+            elif fast_grad:
+                from .ops import adjoint as _adj
+
+                nb = _adj.default_adjoint_blocks(n_pts, _pr + 2 * _pc)
             else:
                 nb = _fused.default_num_blocks(n_pts)
             plan = _lanes.make_plan(
@@ -370,9 +376,16 @@ class GP(ModelSet):
             def _lbwd(theta, g):
                 g_ll, _ = g
                 if fast_grad and on_tpu:
-                    _, _, dll = _lanes.gp_log_likelihood_jac(
-                        make_lane_inputs, theta, plan.n
-                    )
+                    if fast_grad == "tangent":
+                        _, _, dll = _lanes.gp_log_likelihood_jac(
+                            make_lane_inputs, theta, plan.n
+                        )
+                        return (g_ll * dll,)
+                    from .ops import adjoint as _adj
+
+                    _, _, dll = _adj.value_and_grad_fn(
+                        make_lane_inputs, plan.n
+                    )(theta)
                     return (g_ll * dll,)
 
                 from .ops import blocked as _blocked
@@ -394,15 +407,21 @@ class GP(ModelSet):
             loglik_lanes.defvjp(_lfwd, _lbwd)
 
             def _value_ok_grad(theta):
-                """One-pass (ll, ok, grad) via the tangent-augmented
-                kernel — skips the separate primal of the custom-VJP
-                route (samplers consume this via the ``value_and_grad``
-                attribute)."""
-                if on_tpu:
-                    ll, ok, dll = _lanes.gp_log_likelihood_jac(
+                """One-pass (ll, ok, grad) — the adjoint (reverse-mode)
+                kernel pair by default (cost independent of parameter
+                count), or the tangent-augmented forward-mode kernel
+                with ``fast_grad="tangent"``.  Samplers consume this via
+                the ``value_and_grad`` attribute."""
+                if on_tpu and fast_grad == "tangent":
+                    return _lanes.gp_log_likelihood_jac(
                         make_lane_inputs, theta, plan.n
                     )
-                    return ll, ok, dll
+                if on_tpu:
+                    from .ops import adjoint as _adj
+
+                    return _adj.value_and_grad_fn(
+                        make_lane_inputs, plan.n
+                    )(theta)
                 (ll, ok), grad = jax.value_and_grad(
                     loglik_lanes, has_aux=True
                 )(theta)
@@ -460,18 +479,31 @@ class GP(ModelSet):
             return loglik(theta), theta
 
         def _bwd_tpu(theta, g_ll):
-            dim = theta.shape[0]
-            # The lowering is cheap elementwise math: linearize it once
-            # and push the T basis directions through (vmap of the linear
-            # part only; the primal lowering runs once).
-            (ssm, resid), lin = jax.linearize(make_inputs, theta)
-            dssm, dresid = jax.vmap(lin)(
-                jnp.eye(dim, dtype=theta.dtype)
-            )
-            _, _, dll = _tangent.gp_log_likelihood_jac(
-                ssm, resid, dssm, dresid, num_blocks=block_size
-            )
-            return g_ll * dll
+            if fast_grad == "tangent":
+                dim = theta.shape[0]
+                # The lowering is cheap elementwise math: linearize it
+                # once and push the T basis directions through (vmap of
+                # the linear part; the primal lowering runs once).
+                (ssm, resid), lin = jax.linearize(make_inputs, theta)
+                dssm, dresid = jax.vmap(lin)(
+                    jnp.eye(dim, dtype=theta.dtype)
+                )
+                _, _, dll = _tangent.gp_log_likelihood_jac(
+                    ssm, resid, dssm, dresid, num_blocks=block_size
+                )
+                return g_ll * dll
+
+            from .ops import adjoint as _adjoint
+
+            def ll_only(th):
+                ssm, resid = make_inputs(th)
+                ll, _ = _adjoint.gp_log_likelihood(
+                    ssm, resid, num_blocks=block_size
+                )
+                return ll
+
+            _, vjp = jax.vjp(ll_only, theta)
+            return vjp(g_ll)[0]
 
         def _bwd_cpu(theta, g_ll):
             from .ops import blocked as _blocked

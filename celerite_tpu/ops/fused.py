@@ -294,9 +294,19 @@ def run_kernel(u, v, ph, a, y, n, interpret=False):
     Returns (ll, ok).  ``n`` is the unpadded point count (for the 2 pi
     normalization).  No AD rule — wrap via gp_log_likelihood or supply
     your own (ops/lanes.py, ops/tangent.py).
+
+    Wide models (P > 8) route to the split two-kernel pipeline
+    (ops/adjoint.run_kernel): the in-kernel prefix scans below exceed
+    scoped VMEM at large P (their unrolled composition temporaries grow
+    ~P^2 per scan step).
     """
     L, p, b = u.shape
     dtype = u.dtype
+
+    if p > 8 and not interpret:
+        from . import pallas_solver
+
+        return pallas_solver.run_from_lanes(u, v, ph, a, y, n)
 
     step = pl.BlockSpec((1, p, b), lambda ph_, i: (i, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -277,6 +277,36 @@ def _run_subst(h0, u, ph, w, y, d, interpret):
     )(h0, u, ph, w, y, d)
 
 
+def run_from_lanes(u, v, ph, a, y, n, interpret=False):
+    """Three-pass pipeline on pre-laned (L, P, B) inputs -> (ll, ok).
+
+    The save-free primal for models too wide for the single fused
+    kernel's in-VMEM prefix scans (ops/fused.run_kernel dispatches here
+    at P > 8); ops/adjoint.py provides the differentiable variant.
+    """
+    dtype = u.dtype
+    Ab, Jb, Cb = _run_elements(u, v, ph, a, interpret)
+    elems = tuple(x.transpose(2, 0, 1) for x in (Ab, Jb, Cb))
+    pref = blocked._exclusive_prefix_elements(elems)
+    sh0 = pref[2].transpose(1, 2, 0)
+
+    d, w, Mb, mb = _run_factor(sh0, u, v, ph, a, y, interpret)
+    M = Mb.transpose(2, 0, 1)
+    m = mb.transpose(1, 0)
+    Mp, mp = blocked._exclusive_prefix_affine(M, m)
+    h0 = mp.transpose(1, 0)
+
+    quad, logdet, mind = _run_subst(h0, u, ph, w, y, d, interpret)
+
+    ll = -0.5 * (
+        jnp.sum(quad)
+        + jnp.sum(logdet)
+        + n * jnp.log(2.0 * jnp.pi).astype(dtype)
+    )
+    ok = (jnp.min(mind) > 0) & jnp.isfinite(ll)
+    return jnp.where(ok, ll, -jnp.inf), ok
+
+
 def _gp_log_likelihood_impl(ssm: SSM, resid, block_size=256,
                             interpret=False):
     """Fused Pallas GP log-likelihood; same semantics as blocked version.

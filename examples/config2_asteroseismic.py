@@ -17,7 +17,8 @@ from celerite_tpu import GP, terms
 from celerite_tpu.inference import sample_nuts, summary
 
 
-def main(n=100_000, seed=2, chains=4, warmup=200, samples=200):
+def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
+         chunk_size=None, solver="blocked", fast_grad=False):
     rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 100.0, n))
     yerr = np.full(n, 0.3)
@@ -43,7 +44,7 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200):
     logprob = gp.build_logprob(
         t, y, yerr=yerr,
         log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
-        solver="blocked",
+        solver=solver, fast_grad=fast_grad,
     )
 
     dim = gp.vector_size
@@ -56,6 +57,7 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200):
     chain, info = sample_nuts(
         logprob, init, jax.random.PRNGKey(seed),
         num_warmup=warmup, num_samples=samples, max_tree_depth=8,
+        chunk_size=chunk_size,
     )
     dt = time.perf_counter() - t0
     total = chains * samples
@@ -76,7 +78,19 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200):
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    main(n=n)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", type=int, nargs="?", default=100_000)
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--samples", type=int, default=200)
+    # On runtimes that bound single-launch wall-clock (the axon tunnel),
+    # chunk the sampler into <=chunk-transition launches.
+    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--solver", default="blocked")
+    ap.add_argument("--fast-grad", action="store_true")
+    args = ap.parse_args()
+    main(n=args.n, chains=args.chains, warmup=args.warmup,
+         samples=args.samples, chunk_size=args.chunk,
+         solver=args.solver, fast_grad=args.fast_grad)

@@ -11,7 +11,7 @@ from celerite_tpu.ops import blocked, fused, seq
 from celerite_tpu.ops.lower import Coefficients, lower
 
 
-def make_problem(n, seed=0):
+def make_problem(n, seed=0, j=None):
     rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 50, n))
     yerr = rng.uniform(0.1, 0.3, n)
@@ -19,6 +19,10 @@ def make_problem(n, seed=0):
     kernel = terms.SHOTerm(
         log_S0=0.1, log_Q=1.0, log_omega0=0.3
     ) + terms.RealTerm(log_a=0.2, log_c=-0.4)
+    for i in range(3, (j or 0) + 1):
+        kernel = kernel + terms.SHOTerm(
+            log_S0=-0.3 * i, log_Q=0.5, log_omega0=0.3 * i
+        )
     coeffs = Coefficients(
         *[jnp.asarray(c) for c in kernel.coefficients],
         jitter=jnp.asarray(kernel.jitter),
@@ -115,3 +119,19 @@ def test_fused_rejects_bad_block_count():
     ssm, y = make_problem(128)
     with pytest.raises(ValueError):
         fused.gp_log_likelihood(ssm, y, num_blocks=6, interpret=True)
+
+
+def test_wide_model_split_pipeline_matches_seq():
+    """P > 8 models route off the in-VMEM-scan kernel on TPU; the
+    destination (pallas_solver.run_from_lanes) must agree with seq."""
+    from celerite_tpu.ops import pallas_solver
+
+    ssm, y = make_problem(256, j=5)  # P = 10 > 8
+    assert ssm.U.shape[1] > 8
+    ll_ref, _ = seq.gp_log_likelihood(ssm, y)
+    u, v, ph, a, yy, L = fused._to_lanes(ssm, y, 8)
+    ll, ok = pallas_solver.run_from_lanes(
+        u, v, ph, a, yy, ssm.U.shape[0], interpret=True
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(float(ll), float(ll_ref), rtol=1e-10)

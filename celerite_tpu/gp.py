@@ -339,9 +339,14 @@ class GP(ModelSet):
             elif fast_grad:
                 from .ops import adjoint as _adj
 
-                nb = _adj.default_adjoint_blocks(n_pts, _pr + 2 * _pc)
+                _p = _pr + 2 * _pc
+                nb = _adj.default_adjoint_blocks(n_pts, _p)
+                if _p <= 8:
+                    # The plan is shared with the fused primal kernel,
+                    # whose in-VMEM scans cap the lane count.
+                    nb = min(nb, _fused.default_num_blocks(n_pts, _p))
             else:
-                nb = _fused.default_num_blocks(n_pts)
+                nb = _fused.default_num_blocks(n_pts, _pr + 2 * _pc)
             plan = _lanes.make_plan(
                 t_np, np.asarray(y, np.float64),
                 np.asarray(diag, np.float64), nb,

@@ -44,14 +44,20 @@ from .lower import SSM
 __all__ = ["gp_log_likelihood", "default_num_blocks"]
 
 
-def default_num_blocks(n):
+def default_num_blocks(n, p=None):
     """Pick the lane-block count B (power of two).
 
     More blocks = shorter sequential depth per phase but more VMEM and
     longer in-kernel prefix scans.  Sweep-validated on v5e at N=1e6.
+
+    The in-kernel Hillis-Steele prefix scans' unrolled stack grows
+    ~log2(B) * P^2, so the cap is P-aware: B <= 4096 at P <= 4 (B=8192
+    exceeds scoped VMEM on v5e), B <= 2048 at P <= 8 (17.4 MB reported
+    at B=4096, P=8).  P > 8 dispatches to the split pipeline anyway.
     """
+    cap = 4096 if (p is None or p <= 4) else 2048
     b = 256
-    while b * 2 * 64 <= n and b < 4096:
+    while b * 2 * 64 <= n and b < cap:
         b *= 2
     return b
 
@@ -350,7 +356,7 @@ def run_kernel(u, v, ph, a, y, n, interpret=False):
 def _gp_log_likelihood_impl(ssm: SSM, resid, num_blocks=None,
                             interpret=False):
     n, p = ssm.U.shape
-    b = num_blocks or default_num_blocks(n)
+    b = num_blocks or default_num_blocks(n, p)
     if b & (b - 1):
         raise ValueError("num_blocks must be a power of two")
     u, v, ph, a, y, L = _to_lanes(ssm, resid, b)

@@ -6,6 +6,13 @@ oracle (the tests/test_celerite.py pattern), then runs a 4-chain NUTS fit
 and prints a posterior summary with diagnostics.
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

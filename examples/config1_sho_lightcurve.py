@@ -7,6 +7,13 @@ light curve and draws the conditional prediction; this reproduces that
 workflow with the TPU-native stack (NUTS instead of scipy.optimize).
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

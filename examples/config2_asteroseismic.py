@@ -7,7 +7,13 @@ solver.  Mirrors the reference's asteroseismology example
 (paper/ms.tex Ex.4) at two orders of magnitude more data.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 import jax

@@ -6,6 +6,13 @@ variational posterior against the Laplace approximation at the mode
 (inverse Hessian), reporting the per-parameter scale ratios.
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

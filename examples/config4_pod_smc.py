@@ -11,6 +11,13 @@ Run with a virtual mesh:
       python examples/config4_pod_smc.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,25 +8,42 @@ solver matches to ~1e-15, paper/ms.tex:958-968) — on the BASELINE
 config[0]/[1] datasets, and prints the moment constants to paste into
 tests/test_parity_posterior.py.
 
-Pure NumPy; no celerite_tpu imports.  Takes ~10 min on one CPU core.
-Usage: python tests/generate_reference_moments.py
+Pure NumPy; no celerite_tpu imports.  Walker evaluations fan out over a
+multiprocessing pool (results identical to serial — all randomness is
+drawn before the evaluations).  Run with single-threaded BLAS:
+
+  PALLAS_AXON_POOL_IPS= OMP_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 \\
+      python tests/generate_reference_moments.py
 """
 
+import multiprocessing as mp
 import sys
 
 import numpy as np
 
 import parity_common as pc
 
+_LOGPOST = None
 
-def ensemble_moments(name, make, n_walkers=32, n_steps=2500, burn=500,
-                     seed=123):
+
+def _eval(p):
+    return _LOGPOST(p)
+
+
+def ensemble_moments(name, make, n_walkers=32, n_steps=1500, burn=300,
+                     seed=123, procs=4):
+    global _LOGPOST
     t, yerr, y, logpost, names, truth = make()
+    _LOGPOST = logpost
     rng = np.random.default_rng(seed)
     p0 = truth[None, :] + 0.1 * rng.standard_normal(
         (n_walkers, len(truth))
     )
-    chain = pc.stretch_sample(logpost, p0, n_steps, rng)
+    with mp.Pool(procs) as pool:
+        chain = pc.stretch_sample(
+            logpost, p0, n_steps, rng,
+            map_fn=lambda ps: np.asarray(pool.map(_eval, list(ps))),
+        )
     flat = chain[burn:].reshape(-1, len(truth))
 
     mean = flat.mean(axis=0)

@@ -97,16 +97,22 @@ def make_config1(n=500, seed=7):
     return t, yerr, y, logpost, names, truth
 
 
-def stretch_sample(logpost, p0, n_steps, rng, a=2.0):
+def stretch_sample(logpost, p0, n_steps, rng, a=2.0, map_fn=None):
     """Goodman & Weare (2010) affine-invariant stretch move — the emcee
     algorithm, reimplemented from the published recipe.
 
     p0: (n_walkers, dim) initial ensemble.  Returns (n_steps, n_walkers,
     dim) chain (post-move positions each step).
+
+    ``map_fn``: optional batch evaluator ``positions -> logpost array``
+    (e.g. a multiprocessing pool map) — results are independent of it;
+    all randomness is drawn before the evaluations.
     """
+    if map_fn is None:
+        map_fn = lambda ps: np.array([logpost(p) for p in ps])
     n_walkers, dim = p0.shape
     pos = p0.copy()
-    lp = np.array([logpost(p) for p in pos])
+    lp = map_fn(pos)
     out = np.empty((n_steps, n_walkers, dim))
     half = n_walkers // 2
     for step in range(n_steps):
@@ -119,7 +125,7 @@ def stretch_sample(logpost, p0, n_steps, rng, a=2.0):
             z = ((a - 1.0) * rng.uniform(size=len(idx)) + 1.0) ** 2 / a
             partners = comp[rng.integers(0, len(comp), len(idx))]
             prop = partners + z[:, None] * (pos[idx] - partners)
-            lp_prop = np.array([logpost(p) for p in prop])
+            lp_prop = np.asarray(map_fn(prop))
             log_accept = (dim - 1.0) * np.log(z) + lp_prop - lp[idx]
             acc = np.log(rng.uniform(size=len(idx))) < log_accept
             pos[idx[acc]] = prop[acc]

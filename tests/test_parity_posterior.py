@@ -1,0 +1,136 @@
+"""Posterior parity against the reference pipeline.
+
+The reference workflow (docs/tutorials/modeling.rst:227-246 of
+/root/reference) is: celerite log-likelihood + emcee's stretch-move
+ensemble sampler.  The pinned constants below were produced by
+``tests/generate_reference_moments.py``, which reruns exactly that
+pipeline independently of celerite_tpu: a pure-NumPy dense float64
+log-posterior (the reference solver matches dense LAPACK to ~1e-15,
+paper/ms.tex:958-968) sampled with the published Goodman-Weare (2010)
+stretch move (the emcee algorithm).
+
+Here celerite_tpu's own stack — padded term lowering, scan solver, NUTS —
+samples the same datasets, and the posterior moments must agree within
+Monte-Carlo error.  This is the BASELINE.json north-star parity check.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celerite_tpu import GP, terms
+from celerite_tpu.inference import sample_nuts
+
+import parity_common as pc
+
+# Pinned output of tests/generate_reference_moments.py (32 walkers x 1500
+# steps, burn 300, seed 123).  Regenerate with that script if the dataset
+# constructors in parity_common change.
+CONFIG0_MEAN = [1.0524809396884662, -1.083848129375718]
+CONFIG0_SD = [0.4805475333660417, 0.4901398205891417]
+CONFIG0_SE = [0.01600182111388316, 0.0158125332143724]
+
+CONFIG1_MEAN = [0.3599848714214832, 1.610547318827914,
+                -0.027220152376672017]
+CONFIG1_SD = [0.24170901260327893, 0.5095741573555335,
+              0.04440221220782897]
+CONFIG1_SE = [0.006293318709994923, 0.018749883226850263,
+              0.0013041393327863767]
+
+
+def _run_nuts(gp, t, yerr, y, log_prior, theta0, seed, n_chains=8,
+              num_warmup=600, num_samples=1200):
+    logprob = gp.build_logprob(
+        t, y, yerr=yerr, log_prior=log_prior
+    )
+    rng = np.random.default_rng(seed)
+    init = jnp.asarray(
+        theta0[None, :] + 0.05 * rng.standard_normal(
+            (n_chains, len(theta0))
+        )
+    )
+    chain, info = sample_nuts(
+        jax.jit(logprob),
+        init,
+        jax.random.PRNGKey(seed),
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+    )
+    return np.asarray(chain).reshape(-1, len(theta0)), info
+
+
+def _check_moments(flat, ref_mean, ref_sd, ref_se, n_eff_guess=2000.0):
+    ref_mean = np.asarray(ref_mean)
+    ref_sd = np.asarray(ref_sd)
+    # MC error of OUR mean estimate (conservative ESS guess) combined
+    # with the pinned reference standard error.
+    se_ours = ref_sd / np.sqrt(n_eff_guess)
+    tol = 4.0 * np.sqrt(np.asarray(ref_se) ** 2 + se_ours**2)
+    diff = np.abs(flat.mean(0) - ref_mean)
+    assert np.all(diff <= tol), (
+        "posterior means differ beyond MC error: "
+        f"ours={flat.mean(0)!r} ref={ref_mean!r} diff={diff!r} tol={tol!r}"
+    )
+    np.testing.assert_allclose(flat.std(0), ref_sd, rtol=0.15)
+
+
+def test_posterior_parity_config0_realterm():
+    """BASELINE config[0]: RealTerm GP, N=1024 simulated series."""
+    t, yerr, y, _, names, truth = pc.make_config0()
+
+    kernel = terms.RealTerm(log_a=truth[0], log_c=truth[1])
+    gp = GP(kernel)
+    assert gp.get_parameter_names() == (
+        "kernel:log_a", "kernel:log_c",
+    )
+
+    def log_prior(theta):
+        in_box = jnp.all(jnp.abs(theta) <= 12.0)
+        return jnp.where(
+            in_box, -0.5 * jnp.sum((theta / 3.0) ** 2), -jnp.inf
+        )
+
+    flat, info = _run_nuts(gp, t, yerr, y, log_prior, truth, seed=0)
+    assert float(info["accept_prob"]) > 0.6
+    _check_moments(flat, CONFIG0_MEAN, CONFIG0_SD, CONFIG0_SE)
+
+
+def test_posterior_parity_config1_sho():
+    """BASELINE config[1]: SHOTerm oscillator, N=500 Kepler-like series."""
+    t, yerr, y, _, names, truth = pc.make_config1()
+
+    kernel = terms.SHOTerm(
+        log_S0=truth[0], log_Q=truth[1], log_omega0=truth[2]
+    )
+    gp = GP(kernel)
+
+    lo_q = float(np.log(0.5) + 1e-6)
+
+    def log_prior(theta):
+        ok = jnp.all(jnp.abs(theta) <= 12.0) & (theta[1] >= lo_q)
+        return jnp.where(
+            ok, -0.5 * jnp.sum((theta / 3.0) ** 2), -jnp.inf
+        )
+
+    flat, info = _run_nuts(gp, t, yerr, y, log_prior, truth, seed=1)
+    assert float(info["accept_prob"]) > 0.6
+    _check_moments(flat, CONFIG1_MEAN, CONFIG1_SD, CONFIG1_SE)
+
+
+def test_loglik_matches_dense_reference_pipeline():
+    """The two pipelines' log-posteriors agree pointwise (f64)."""
+    t, yerr, y, logpost_ref, _, truth = pc.make_config1()
+    kernel = terms.SHOTerm(
+        log_S0=truth[0], log_Q=truth[1], log_omega0=truth[2]
+    )
+    gp = GP(kernel)
+    ll_fn = gp.build_loglik(t, y, yerr=yerr)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        th = truth + 0.3 * rng.standard_normal(3)
+        ll, ok = ll_fn(jnp.asarray(th))
+        assert bool(ok)
+        ours = float(ll) + pc.log_prior(th)
+        np.testing.assert_allclose(ours, logpost_ref(th), rtol=1e-10)

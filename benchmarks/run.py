@@ -126,10 +126,13 @@ def main():
                     ]
                     dt = timer(lambda: native.loglike(U, V, P, A, y))
                 else:
+                    from celerite_tpu.ops import fused
+
                     fn = {
                         "seq": seq.gp_log_likelihood,
                         "blocked": blocked.gp_log_likelihood,
                         "pallas": pallas_solver.gp_log_likelihood,
+                        "fused": fused.gp_log_likelihood,
                     }[backend]
 
                     @jax.jit

@@ -39,7 +39,7 @@ from jax import lax
 
 from .lower import Coefficients
 
-__all__ = ["realize", "predict_var", "kalman_log_likelihood"]
+__all__ = ["realize", "predict_var", "kalman_log_likelihood", "sample_prior"]
 
 
 class _Realization:
@@ -377,3 +377,43 @@ def predict_var(coeffs: Coefficients, t_train, diag, resid, t_test):
     out_mean[src_s[test_pos]] = mean_s[test_pos]
     out_var[src_s[test_pos]] = var_s[test_pos]
     return out_mean, out_var
+
+
+def sample_prior(coeffs: Coefficients, t, seed=None, rng=None):
+    """Exact GP prior sample at ``t`` via the Gauss-Markov realization.
+
+    Host-side float64 and O(N p^2) regardless of backend dtype — the
+    robust way to simulate large-N datasets on accelerators whose f32
+    factorization would be marginal (the draw is exact: x_0 ~ N(0,
+    P_inf), x_n = A_n x_{n-1} + q_n with Q_n = P_inf - A_n P_inf A_n^T).
+    Returns the latent kernel process only (no jitter / measurement
+    noise).  Requires a realizable kernel (``realize`` returns None
+    otherwise; see that docstring).
+    """
+    real_ = realize(coeffs)
+    if real_ is None:
+        raise ValueError("kernel is not Gauss-Markov realizable")
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    t = np.asarray(t, np.float64)
+    n = t.shape[0]
+    p = real_.p
+    Pinf = np.asarray(real_.Pinf, np.float64)
+    H = np.asarray(real_.H, np.float64)
+    dt = np.concatenate([[0.0], np.diff(t)])
+    A = np.asarray(_transitions(real_, jnp.asarray(dt)), np.float64)
+    Q = Pinf[None] - A @ Pinf[None] @ np.swapaxes(A, 1, 2)
+
+    # Robust symmetric square roots (Q_0 = 0; near-zero for tiny dt).
+    Qs = 0.5 * (Q + np.swapaxes(Q, 1, 2))
+    w, V = np.linalg.eigh(Qs)
+    L = V * np.sqrt(np.clip(w, 0.0, None))[:, None, :]
+
+    eps = rng.standard_normal((n, p))
+    x = np.empty((n, p))
+    x[0] = np.linalg.cholesky(
+        Pinf + 1e-12 * np.trace(Pinf) / p * np.eye(p)
+    ) @ eps[0]
+    for k in range(1, n):
+        x[k] = A[k] @ x[k - 1] + L[k] @ eps[k]
+    return x @ H

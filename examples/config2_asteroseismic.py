@@ -35,9 +35,20 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
         + terms.SHOTerm(log_S0=-1.0, log_Q=2.5, log_omega0=1.8)  # osc.
         + terms.JitterTerm(log_sigma=-1.5)
     )
-    gp_sim = GP(kernel_true)
-    gp_sim.compute(t, yerr)
-    y = gp_sim.sample(seed=seed)
+    # Simulate host-side in f64 through the Gauss-Markov realization —
+    # exact at any N, independent of the accelerator's f32 margins.
+    from celerite_tpu.ops.lower import Coefficients
+    from celerite_tpu.ops.smoother import sample_prior
+
+    kc = Coefficients(
+        *[np.asarray(c) for c in kernel_true.coefficients],
+        jitter=kernel_true.jitter,
+    )
+    y = (
+        sample_prior(kc, t, seed=seed)
+        + np.sqrt(yerr**2 + kernel_true.jitter)
+        * rng.standard_normal(n)
+    )
 
     kernel = (
         terms.SHOTerm(log_S0=0.2, log_Q=-0.3, log_omega0=0.2)
@@ -45,7 +56,6 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
         + terms.JitterTerm(log_sigma=-1.0)
     )
     gp = GP(kernel)
-    gp.compute(t, yerr)
 
     logprob = gp.build_logprob(
         t, y, yerr=yerr,

@@ -77,3 +77,23 @@ def test_smoother_rejects_unrealizable():
             coeffs, np.arange(4.0), np.ones(4), np.ones(4),
             np.arange(4.0) + 0.5,
         )
+
+
+def test_sample_prior_covariance():
+    """Empirical covariance of state-space prior draws matches k(tau)."""
+    from celerite_tpu.ops.smoother import sample_prior
+
+    kernel = terms.SHOTerm(log_S0=0.2, log_Q=0.8, log_omega0=0.5)
+    coeffs = Coefficients(
+        *[jnp.asarray(c) for c in kernel.coefficients],
+        jitter=jnp.asarray(kernel.jitter),
+    )
+    t = np.linspace(0, 10.0, 64)
+    rng = np.random.default_rng(0)
+    draws = np.stack(
+        [sample_prior(coeffs, t, rng=rng) for _ in range(400)]
+    )
+    emp = draws.T @ draws / draws.shape[0]
+    K = np.asarray(kernel.get_value(t[:, None] - t[None, :]))
+    scale = K[0, 0]
+    assert np.abs(emp - K).max() / scale < 0.35  # MC error at 400 draws

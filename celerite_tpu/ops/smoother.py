@@ -203,16 +203,24 @@ def realize(coeffs: Coefficients, tol=1e-12):
                 return None
             P_blocks.append(np.array([[a, 0.0], [0.0, a]]))
             continue
-        if c * a < d * b - tol:
+        # The SHOTerm sits exactly ON the a c = b d feasibility boundary,
+        # so float32-rounded coefficients land an epsilon outside it —
+        # use a relative margin and project onto the boundary.
+        margin = tol + 1e-5 * (abs(c * a) + abs(d * b))
+        if c * a < d * b - margin:
             return None  # individually non-PSD term
         # det Qc(p22) = (2ca - 2db)(2c p22 + 2db) - (2cb + d(a - p22))^2
         # is concave in p22; take its maximizer.
-        alpha = 2.0 * (c * a - d * b)
+        alpha = max(2.0 * (c * a - d * b), 0.0)
         p22 = (alpha * c + d * (2.0 * c * b + d * a)) / (d * d)
         off = 2.0 * c * b + d * (a - p22)
         detq = alpha * (2.0 * c * p22 + 2.0 * d * b) - off * off
         q22 = 2.0 * c * p22 + 2.0 * d * b
-        if detq < -tol * max(1.0, alpha) or q22 < -tol or p22 <= 0:
+        if (
+            detq < -margin * max(1.0, 2.0 * c * p22 + 2.0 * d * b)
+            or q22 < -margin
+            or p22 <= 0
+        ):
             return None
         P = np.array([[a, -b], [-b, p22]])
         if np.linalg.det(P) < -tol or np.trace(P) <= 0:

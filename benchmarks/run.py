@@ -28,17 +28,34 @@ import time
 import numpy as np
 
 
-def timer(fn, max_time=5.0):
-    """Adaptive wall-clock timer (reference celerite/timer.py analog)."""
-    fn()  # warmup / compile
-    total, k = 0.0, 0
+def timer(fn, max_time=5.0, sync=None):
+    """Adaptive wall-clock timer (reference celerite/timer.py analog).
+
+    ``sync(out)``: drain async device dispatch (jax.block_until_ready).
+    When given, iterations are submitted back-to-back and drained once —
+    blocking per call would measure the host<->device round-trip (~30 ms
+    through the axon relay), not device throughput.
+    """
+    out = fn()  # warmup / compile
+    if sync is None:
+        t0 = time.perf_counter()
+        k = 0
+        while time.perf_counter() - t0 < 0.2 or k < 3:
+            fn()
+            k += 1
+            if time.perf_counter() - t0 > max_time:
+                break
+        return (time.perf_counter() - t0) / k
+    sync(out)
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < 0.2 or k < 3:
-        fn()
-        k += 1
-        if time.perf_counter() - t0 > max_time:
-            break
-    return (time.perf_counter() - t0) / k
+    sync(fn())
+    est = time.perf_counter() - t0
+    iters = max(3, min(200, int(1.0 / max(est, 1e-5))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def make_kernel(terms_mod, j):
@@ -59,11 +76,13 @@ def main():
     ap.add_argument("--backends", default="seq,blocked,native")
     ap.add_argument("--minN", type=int, default=6)
     ap.add_argument("--maxN", type=int, default=18)
+    ap.add_argument("--stepN", type=int, default=1)
     ap.add_argument("--terms", default="1,2,4")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--sampler", action="store_true")
     ap.add_argument("--carma", action="store_true")
+    ap.add_argument("--grad", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -89,12 +108,15 @@ def main():
     if args.carma:
         run_carma_bench(args, jax, jnp, dtype)
         return
+    if args.grad:
+        run_grad_bench(args, jax, jnp, dtype)
+        return
 
     rows = []
     for j in map(int, args.terms.split(",")):
         kernel = make_kernel(terms, j)
         coeffs_np = [np.asarray(c) for c in kernel.coefficients]
-        for logn in range(args.minN, args.maxN + 1):
+        for logn in range(args.minN, args.maxN + 1, args.stepN):
             n = 2**logn
             t = np.sort(rng.uniform(0, n / 1000.0, n))
             y = rng.standard_normal(n)
@@ -140,9 +162,7 @@ def main():
                         ssm = lower(coeffs, tj, dj)
                         return fn(ssm, yj)[0]
 
-                    dt = timer(
-                        lambda: jax.block_until_ready(ll())
-                    )
+                    dt = timer(ll, sync=jax.block_until_ready)
                 row["{0}_time".format(backend)] = dt
             rows.append(row)
             print(row, flush=True)
@@ -152,6 +172,64 @@ def main():
     ]
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+
+
+def run_grad_bench(args, jax, jnp, dtype):
+    """value+grad timing sweep over model width (parameter count).
+
+    The sampler-facing metric: NUTS cost is ~100% gradient evaluations.
+    Reference analog: examples/benchmark/run.py grad mode producing
+    benchmark_linux_grad.csv (forward-mode coefficient AD,
+    /root/reference/celerite/solver.cpp:347-463); here the default is
+    the adjoint (reverse-mode) kernel pair — cost independent of the
+    parameter count.
+    """
+    from celerite_tpu import GP, terms
+
+    rng = np.random.default_rng(42)
+    n = 2 ** args.maxN
+    t = np.sort(rng.uniform(0, n / 1000.0, n))
+    yerr = np.full(n, 0.1)
+    y = rng.standard_normal(n)
+
+    def sho(i):
+        return terms.SHOTerm(
+            log_S0=0.1 - 0.2 * i, log_Q=1.0 - 0.2 * i,
+            log_omega0=0.5 + 0.35 * i,
+        )
+
+    rows = []
+    for nterms in map(int, args.terms.split(",")):
+        kernel = sho(0)
+        for i in range(1, nterms):
+            kernel = kernel + sho(i)
+        gp = GP(kernel, mean=0.1, fit_mean=True)
+        lp = gp.build_logprob(
+            t, y, yerr=yerr, solver="fused", fast_grad=True,
+            log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+        )
+        th = jnp.asarray(gp.get_parameter_vector(), dtype)
+        vg = jax.jit(lp.value_and_grad)
+
+        dt_grad = timer(lambda: vg(th), sync=jax.block_until_ready)
+        ll_fn = jax.jit(lp)
+        dt_val = timer(lambda: ll_fn(th), sync=jax.block_until_ready)
+        row = {
+            "n_params": int(th.shape[0]),
+            "N": n,
+            "value_time": dt_val,
+            "value_grad_time": dt_grad,
+        }
+        rows.append(row)
+        print(row, flush=True)
+
+    with open(args.output, "w", newline="") as f:
+        w = csv.DictWriter(
+            f,
+            fieldnames=["n_params", "N", "value_time", "value_grad_time"],
+        )
         w.writeheader()
         w.writerows(rows)
 

@@ -240,8 +240,9 @@ class GP(ModelSet):
         from :meth:`compute` are folded in if present.
 
         ``solver``: "seq" (sequential scan), "blocked" (block-parallel),
-        "pallas" (fused TPU kernels), or "auto" (seq below 4096 points,
-        blocked above — the sequential scan is latency-bound at large N).
+        "pallas"/"fused" (Pallas TPU kernels), or "auto" (seq below 4096
+        points — the sequential scan is latency-bound at large N — then
+        the lane-layout fused kernel on TPU, blocked elsewhere).
 
         ``fast_grad``: wrap the closure in a custom VJP backed by the
         hand-written Pallas gradient kernels.  ``True`` (default mode)
@@ -282,7 +283,14 @@ class GP(ModelSet):
         mean_fn = _mean_value_fn(self.mean)
 
         if solver == "auto":
-            solver = "seq" if t.shape[0] < 4096 else "blocked"
+            _no_general = self._A is None or np.size(self._A) == 0
+            if t.shape[0] < 4096:
+                solver = "seq"
+            elif jax.default_backend() == "tpu" and _no_general:
+                # Lane-layout fused kernel: the fast + ds-accurate path.
+                solver = "fused"
+            else:
+                solver = "blocked"
         if solver == "seq":
             ll_fn = seq.gp_log_likelihood
         elif solver == "blocked":

@@ -48,6 +48,7 @@ from jax import lax
 
 from .lower import SSM
 from .seq import FactorResult
+from .precision import f32_matmuls
 
 __all__ = [
     "gp_log_likelihood",
@@ -61,6 +62,7 @@ __all__ = [
 ]
 
 
+@f32_matmuls
 def apply_elem(elem, S):
     """Apply a Riccati (A, J, C) element to a state: A S (I+JS)^-1 A^T + C."""
     A, J, C = elem
@@ -142,9 +144,12 @@ def _small_inv_jvp(primals, tangents):
     (M,) = primals
     (dM,) = tangents
     inv = _small_inv(M)
-    return inv, -inv @ dM @ inv
+    hi = jax.lax.Precision.HIGHEST
+    return inv, -jnp.matmul(jnp.matmul(inv, dM, precision=hi), inv,
+                            precision=hi)
 
 
+@f32_matmuls
 def _compose_full(e1, e2):
     """Full composition of two (A, J, C) elements (used across blocks).
 
@@ -163,6 +168,7 @@ def _compose_full(e1, e2):
     return (A12, J12, C12)
 
 
+@f32_matmuls
 def _block_elements(blk: SSM):
     """Per-block cumulative (A, J, C) elements, trajectory ("closed-loop")
     formulation.
@@ -224,6 +230,7 @@ def _block_elements(blk: SSM):
     return jax.vmap(one_block)(blk.U, blk.V, blk.phi, blk.A)
 
 
+@f32_matmuls
 def _exclusive_prefix_elements(elems):
     """Exclusive prefix composition across the block axis."""
     A, J, C = elems
@@ -237,6 +244,7 @@ def _exclusive_prefix_elements(elems):
     )
 
 
+@f32_matmuls
 def _block_factor_pass(blk: SSM, S_hat_in):
     """Run the raw factor recursion per block given incoming S-hat.
 
@@ -260,6 +268,7 @@ def _block_factor_pass(blk: SSM, S_hat_in):
     return jax.vmap(one_block)(blk.U, blk.V, blk.phi, blk.A, S_hat_in)
 
 
+@f32_matmuls
 def factor(ssm: SSM, block_size=None) -> FactorResult:
     """Block-parallel K = L D L^T; exact (matches seq.factor)."""
     n = ssm.U.shape[0]
@@ -278,6 +287,7 @@ def factor(ssm: SSM, block_size=None) -> FactorResult:
     return FactorResult(D=D, W=W, ok=ok)
 
 
+@f32_matmuls
 def _block_solve_maps(blk: SSM, W_blk, y_blk):
     """Per-block affine map (M, m) for h_n = M_n h_{n-1} + m_n."""
 
@@ -311,6 +321,7 @@ def _affine_compose(e1, e2):
     return (M2 @ M1, jnp.einsum("...ij,...j->...i", M2, m1) + m2)
 
 
+@f32_matmuls
 def _exclusive_prefix_affine(M, m):
     b, p, _ = M.shape
     incl = lax.associative_scan(_affine_compose, (M, m), axis=0)
@@ -321,6 +332,7 @@ def _exclusive_prefix_affine(M, m):
     return Mp, mp
 
 
+@f32_matmuls
 def _block_forward_pass(blk: SSM, W_blk, y_blk, h_in):
     """Recompute z_n per block given incoming h state; emit z."""
 
@@ -338,6 +350,7 @@ def _block_forward_pass(blk: SSM, W_blk, y_blk, h_in):
     return jax.vmap(one_block)(blk.U, blk.phi, W_blk, y_blk, h_in)
 
 
+@f32_matmuls
 def solve_lower(ssm: SSM, fact: FactorResult, y, block_size=None):
     """Solve L z = y, block-parallel."""
     n, p = ssm.U.shape
@@ -352,6 +365,7 @@ def solve_lower(ssm: SSM, fact: FactorResult, y, block_size=None):
     return z.reshape(b * L)[:n]
 
 
+@f32_matmuls
 def gp_log_likelihood(ssm: SSM, resid, block_size=None):
     """Fused block-parallel factor + forward solve + reductions.
 
@@ -452,6 +466,7 @@ def _diag_affine_scan(phi, b, reverse=False):
     return out
 
 
+@f32_matmuls
 def solve(ssm: SSM, fact, y, block_size=None):
     """Solve K x = y, block-parallel (seq.solve analog).
 
@@ -494,6 +509,7 @@ def solve(ssm: SSM, fact, y, block_size=None):
     return x_rev[rev]
 
 
+@f32_matmuls
 def dot_L(ssm: SSM, fact, z, block_size=None):
     """L sqrt(D) z, parallel (seq.dot_L analog).
 
@@ -517,6 +533,7 @@ def dot_L(ssm: SSM, fact, z, block_size=None):
     return t + jnp.sum(ssm.U * f, axis=1)
 
 
+@f32_matmuls
 def matmul(ssm: SSM, z, block_size=None):
     """K @ z, parallel (seq.matmul analog): two associative scans."""
     import jax

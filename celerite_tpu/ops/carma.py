@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from .precision import f32_matmuls
 
 __all__ = ["CARMASolver", "roots_from_params", "poly_from_roots"]
 
@@ -187,6 +188,7 @@ class CARMASolver:
 
 
 @jax.jit
+@f32_matmuls
 def _kalman_ll(b, V, roots, y, yvar, dt):
     """Sequential Kalman filter as a scan (reference carma.h:221-239)."""
     p = b.shape[0]

@@ -12,10 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .kernels import kernel_value
+from .precision import f32_matmuls
 
 __all__ = ["build_matrix", "log_likelihood", "solve"]
 
 
+@f32_matmuls
 def build_matrix(
     coeffs,
     t,
@@ -40,10 +42,12 @@ def build_matrix(
     return k
 
 
+@f32_matmuls
 def solve(K, y):
     return jnp.linalg.solve(K, y)
 
 
+@f32_matmuls
 def log_likelihood(K, resid):
     """Dense multivariate-normal log-likelihood of ``resid`` under cov K."""
     n = K.shape[0]

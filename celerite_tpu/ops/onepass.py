@@ -68,6 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import blocked
 from .adjoint import _factor_bwd_kernel  # noqa: F401 (rule source, docs)
 from .lower import SSM
+from .precision import f32_matmuls
 
 __all__ = ["gp_log_likelihood", "run_kernel"]
 
@@ -460,6 +461,7 @@ def _small_det(M):
     return det
 
 
+@f32_matmuls
 def run_kernel(u, v, ph, a, y, n):
     """(ll, ok) from pre-laned (L, P, B) inputs in ONE streaming sweep.
 

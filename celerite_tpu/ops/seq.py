@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .lower import SSM
+from .precision import f32_matmuls
 
 __all__ = [
     "FactorResult",
@@ -59,6 +60,7 @@ def _factor_step(S, d_prev, w_prev, u, v, phi, a):
     return S, d, w
 
 
+@f32_matmuls
 def factor(ssm: SSM) -> FactorResult:
     """Factor K = L D L^T; O(N P^2) sequential scan."""
 
@@ -115,6 +117,7 @@ def _ll_scan(ssm: SSM, resid: jnp.ndarray):
     return quad, logdet, min_d
 
 
+@f32_matmuls
 def gp_log_likelihood(ssm: SSM, resid: jnp.ndarray):
     """Total GP log-likelihood with (ll, ok) semantics.
 
@@ -136,6 +139,7 @@ def _shift_down(x):
     return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
 
 
+@f32_matmuls
 def solve_lower(ssm: SSM, fact: FactorResult, y: jnp.ndarray):
     """Solve L z = y (forward substitution).  y: (N,)."""
 
@@ -155,6 +159,7 @@ def solve_lower(ssm: SSM, fact: FactorResult, y: jnp.ndarray):
     return z
 
 
+@f32_matmuls
 def solve(ssm: SSM, fact: FactorResult, y: jnp.ndarray):
     """Solve K x = y.  y may be (N,) or (N, K)."""
     if y.ndim == 2:
@@ -183,12 +188,14 @@ def solve(ssm: SSM, fact: FactorResult, y: jnp.ndarray):
     return x
 
 
+@f32_matmuls
 def dot_solve(ssm: SSM, fact: FactorResult, y: jnp.ndarray):
     """y^T K^-1 y via the forward pass only (cholesky.h:326-401 analog)."""
     z = solve_lower(ssm, fact, y)
     return jnp.sum(z * z / fact.D)
 
 
+@f32_matmuls
 def dot_L(ssm: SSM, fact: FactorResult, z: jnp.ndarray):
     """Compute y = L sqrt(D) z (prior sampling; cholesky.h:409-431 analog).
 
@@ -217,6 +224,7 @@ def dot_L(ssm: SSM, fact: FactorResult, z: jnp.ndarray):
     return y
 
 
+@f32_matmuls
 def matmul(ssm: SSM, z: jnp.ndarray):
     """K @ z without factorizing (cholesky.h:444-590 analog).
 
@@ -265,6 +273,7 @@ def matmul(ssm: SSM, z: jnp.ndarray):
     return ssm.A * z + y_low + y_up
 
 
+@f32_matmuls
 def predict_mean(coeffs, t, alpha, x, parallel=False):
     """Conditional mean K_*(x, t) @ alpha in O((N + M) J).
 

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .lower import Coefficients
+from .precision import f32_matmuls
 
 __all__ = ["realize", "predict_var", "kalman_log_likelihood", "sample_prior"]
 
@@ -234,6 +235,7 @@ def realize(coeffs: Coefficients, tol=1e-12):
     return _Realization(c_states, P_real, c_c, d_c, P_comp)
 
 
+@f32_matmuls
 def _transitions(real_, dt):
     """Per-step block-diagonal transition matrices A(dt): (n, p, p)."""
     n = dt.shape[0]
@@ -256,6 +258,7 @@ def _transitions(real_, dt):
     return A
 
 
+@f32_matmuls
 def _filter_smoother(real_, dt, yv, rv, obs):
     """Kalman filter + RTS smoother over one merged grid.
 
@@ -321,6 +324,7 @@ def _filter_smoother(real_, dt, yv, rv, obs):
     return mean, var, jnp.sum(lls)
 
 
+@f32_matmuls
 def kalman_log_likelihood(coeffs: Coefficients, t, diag, y):
     """Data log-likelihood via the filter (cross-check utility)."""
     real_ = realize(coeffs)
@@ -336,6 +340,7 @@ def kalman_log_likelihood(coeffs: Coefficients, t, diag, y):
     return ll
 
 
+@f32_matmuls
 def predict_var(coeffs: Coefficients, t_train, diag, resid, t_test):
     """Posterior mean and variance of the latent GP at ``t_test``.
 
@@ -387,6 +392,7 @@ def predict_var(coeffs: Coefficients, t_train, diag, resid, t_test):
     return out_mean, out_var
 
 
+@f32_matmuls
 def sample_prior(coeffs: Coefficients, t, seed=None, rng=None):
     """Exact GP prior sample at ``t`` via the Gauss-Markov realization.
 

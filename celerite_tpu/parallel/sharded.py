@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import blocked
 from ..ops.lower import SSM
+from ..ops.precision import f32_matmuls
 
 __all__ = [
     "make_data_mesh",
@@ -94,6 +95,7 @@ def _device_prefix_affine(Mloc, mloc, axis_name):
     return lax.fori_loop(0, n_dev, fold, ident)
 
 
+@f32_matmuls
 def sharded_gp_log_likelihood(ssm: SSM, resid, mesh, block_size=None):
     """GP log-likelihood with the N axis sharded over ``mesh``.
 

@@ -1,0 +1,144 @@
+"""Full-tile (4-D) lane plan: statics shaped ``(L, 8, W)`` for in-kernel lowering.
+
+Round-2 profiling on v5e showed the fused pipeline's time was dominated not
+by the recursion kernels (~0.1-0.2 ms at N=1e6) but by the XLA-side
+coefficient lowering (~1.7 ms): arrays shaped ``(L, 1, B)`` force XLA into
+``T(1,128)`` tilings (1 of 8 sublanes used) for the transcendental-heavy
+phase/decay math, and the column interleave into ``(L, P, B)`` costs several
+strided-copy fusions on top.
+
+This module is the fix: the *block* (virtual-lane) axis is laid out across
+both sublanes and lanes as ``(8, W)`` with ``W = B/8``, every array carries
+those as its minor dims (always full ``(8, 128)`` tiles), and the
+coefficient lowering moves **inside** the Pallas kernels (ops/fused4.py) as
+pure VPU math per streamed step — no XLA assembly, no strided interleaves,
+no separate lowering pass over HBM.
+
+Virtual-lane order: lane ``l = r * W + c`` (sublane-major), so block ``l``
+owns the contiguous time chunk ``[l*L, (l+1)*L)`` exactly like
+ops/fused._to_lanes.  The cross-block prefix scans roll along ``l`` with a
+two-axis roll (lane shift + sublane borrow, ops/fused4._rolled).
+
+The per-dataset statics (time grid incl. double-single lo parts, spacings,
+mask, diag, data) are built host-side in float64 exactly as ops/lanes
+(make_plan's padding/spacing contract is shared); only the layout differs.
+
+Reference analog: cholesky.h:103-152 builds (U, V, phi, A) row by row
+inside the factorization loop — the same fusion of lowering into the hot
+loop, done here the TPU way.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .lower import Coefficients
+
+__all__ = ["Plan4", "make_plan4", "pack_cf", "cf_len", "default_num_blocks4"]
+
+SUB = 8  # sublane count of an f32 tile
+
+
+class Plan4(NamedTuple):
+    """Static per-dataset arrays in full-tile lane layout ``(L, 8, W)``."""
+
+    t: jnp.ndarray      # f32 time grid (hi part)
+    t_lo: jnp.ndarray   # double-single lo part of the f64 grid
+    dt: jnp.ndarray     # exact spacings; 0 at the global start and on pad
+    diag: jnp.ndarray   # per-point variance (yerr^2), 0 on pad
+    y: jnp.ndarray      # data, 0 on pad
+    mask: jnp.ndarray   # 1.0 on real rows, 0.0 on pad
+    n: int              # unpadded point count (static)
+    num_blocks: int     # B = 8 * W virtual lanes (static)
+
+
+def default_num_blocks4(n, p=None):
+    """Virtual-lane count for the 4-D kernels (power of two, >= 256).
+
+    Same sizing rule as ops/fused.default_num_blocks: enough blocks to
+    shorten the sequential depth, capped so the in-kernel prefix-scan
+    temporaries fit scoped VMEM (P-aware).
+    """
+    cap = 4096 if (p is None or p <= 4) else 2048
+    b = 256
+    while b * 2 * 64 <= n and b < cap:
+        b *= 2
+    return b
+
+
+def _lane4(x64, b, L, dtype=np.float32):
+    """(B*L,) host array -> (L, 8, W) with virtual lane l = r*W + c."""
+    w = b // SUB
+    return np.ascontiguousarray(
+        np.asarray(x64, dtype).reshape(SUB, w, L).transpose(2, 0, 1)
+    )
+
+
+def make_plan4(t, y, diag, num_blocks, dtype=np.float32) -> Plan4:
+    """Host-side plan construction from float64 inputs.
+
+    Padding/spacing contract matches ops/lanes.make_plan: spacings are
+    differenced in f64; every block's first row keeps its true spacing
+    (blocks are seeded by the cross-block prefix, not by resetting the
+    recursion); only the global first point and pad rows get dt = 0.
+    """
+    b = int(num_blocks)
+    if b & (b - 1) or b % SUB:
+        raise ValueError("num_blocks must be a power of two >= 8")
+    t = np.asarray(t, np.float64)
+    y = np.asarray(y, np.float64)
+    diag = np.asarray(diag, np.float64)
+    n = t.shape[0]
+    L = -(-n // b)
+    pad = b * L - n
+
+    def padded(x, fill):
+        return np.concatenate([x, np.full(pad, fill, np.float64)])
+
+    t_pad = padded(t, t[-1] if n else 0.0)
+    dt = np.concatenate([[0.0], np.diff(t)])
+    dt_pad = padded(dt, 0.0)
+    diag_pad = padded(diag, 0.0)
+    y_pad = padded(y, 0.0)
+    mask = padded(np.ones(n), 0.0)
+
+    t_hi = np.asarray(t_pad, dtype)
+    t_lo = np.asarray(t_pad - np.asarray(t_hi, np.float64), dtype)
+
+    return Plan4(
+        t=jnp.asarray(_lane4(t_hi, b, L, dtype)),
+        t_lo=jnp.asarray(_lane4(t_lo, b, L, dtype)),
+        dt=jnp.asarray(_lane4(dt_pad, b, L, dtype)),
+        diag=jnp.asarray(_lane4(diag_pad, b, L, dtype)),
+        y=jnp.asarray(_lane4(y_pad, b, L, dtype)),
+        mask=jnp.asarray(_lane4(mask, b, L, dtype)),
+        n=n,
+        num_blocks=b,
+    )
+
+
+def cf_len(jr, jc):
+    """Length of the packed coefficient vector for (jr, jc) term counts."""
+    return 2 * jr + 4 * jc + 1
+
+
+def pack_cf(coeffs: Coefficients, dtype=jnp.float32):
+    """Pack lowering coefficients into the kernels' flat SMEM vector.
+
+    Layout: [a_real(jr), c_real(jr), a_c(jc), b_c(jc), c_c(jc), d_c(jc),
+    total] with total = sum(a_real) + sum(a_comp) + jitter (the kernel's
+    diagonal shift, ops/lanes.lower_lanes:145).  Differentiable: the
+    backward kernels return a cotangent of the same layout and XLA
+    chain-rules through this function to the term parameters.
+    """
+    a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
+    total = (
+        jnp.sum(a_real) + jnp.sum(a_comp) + jnp.asarray(jitter)
+    ).reshape(1)
+    parts = [a_real, c_real, a_comp, b_comp, c_comp, d_comp, total]
+    return jnp.concatenate([jnp.asarray(p).reshape(-1) for p in parts]).astype(
+        dtype
+    )

@@ -1,0 +1,173 @@
+"""Tests for the full-tile in-kernel-lowering kernels (ops/fused4.py).
+
+Strategy: an XLA mirror of the in-kernel lowering (same ds formulas on the
+same Plan4 statics) feeds the already-validated 3-D adjoint pipeline
+(ops/adjoint.run_kernel, itself tested against ops/blocked and the dense
+oracle).  The 4-D kernels must agree on values and on gradients w.r.t.
+the packed coefficient vector and the data stream.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celerite_tpu.ops import adjoint, ds as _ds, fused4, lanes4
+
+
+def _mk_data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 10.0, n))
+    yerr = 0.1 + 0.05 * rng.random(n)
+    y = np.sin(t) + 0.1 * rng.standard_normal(n)
+    return t, y, yerr
+
+
+def _xla_lower4(cf, plan, jr, jc):
+    """Vectorized mirror of fused4._lower_step over the whole plan."""
+    t, tl, dt, dg, m = plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask
+    cols_u, cols_v, cols_p = [], [], []
+    for j in range(jr):
+        cols_u.append(cf[j] * m)
+        cols_v.append(m)
+        cols_p.append(_ds.accurate_exp(-cf[jr + j] * dt))
+    for j in range(jc):
+        ac = cf[2 * jr + j]
+        bc = cf[2 * jr + jc + j]
+        cc = cf[2 * jr + 2 * jc + j]
+        dc = cf[2 * jr + 3 * jc + j]
+        r_hi, r_lo = _ds.reduced_angle(dc, t, tl)
+        cs = jnp.cos(r_hi) - r_lo * jnp.sin(r_hi)
+        sn = jnp.sin(r_hi) + r_lo * jnp.cos(r_hi)
+        cm = cs * m
+        sm = sn * m
+        ph = _ds.accurate_exp(-cc * dt)
+        cols_u += [ac * cm + bc * sm, ac * sm - bc * cm]
+        cols_v += [cm, sm]
+        cols_p += [ph, ph]
+    u = jnp.stack(cols_u, axis=1)
+    v = jnp.stack(cols_v, axis=1)
+    ph = jnp.stack(cols_p, axis=1)
+    a = (m * (dg + cf[2 * jr + 4 * jc]) + (1.0 - m))[:, None]
+    return u, v, ph, a
+
+
+def _ref_ll(cf, plan, jr, jc, y4=None):
+    """Reference: XLA lowering + 3-D adjoint pipeline (interpret mode)."""
+    u, v, ph, a = _xla_lower4(cf, plan, jr, jc)
+    L, s8, w = plan.t.shape
+    b = s8 * w
+    p = jr + 2 * jc
+
+    def to3(x):
+        return x.reshape(L, -1, b)
+
+    y = plan.y if y4 is None else y4
+    ll, ok = adjoint.run_kernel(
+        to3(u).reshape(L, p, b), to3(v).reshape(L, p, b),
+        to3(ph).reshape(L, p, b), a.reshape(L, 1, b),
+        y.reshape(L, 1, b), plan.n,
+    )
+    return ll, ok
+
+
+CASES = [
+    # (jr, jc, cf-builder); complex terms keep a*c > b*d (PSD)
+    (1, 0, lambda: [0.8, 0.7]),
+    (0, 1, lambda: [0.9, 0.2, 0.8, 1.7]),
+    (2, 1, lambda: [0.5, 0.3, 1.1, 0.6, 0.7, 0.2, 0.8, 2.3]),
+]
+
+
+def _pack(jr, jc, vals, jitter=0.05):
+    vals = np.asarray(vals, np.float64)
+    a_real = vals[:jr]
+    a_comp = vals[2 * jr: 2 * jr + jc]
+    total = a_real.sum() + a_comp.sum() + jitter
+    return jnp.asarray(np.concatenate([vals, [total]]))
+
+
+@pytest.mark.parametrize("jr,jc,mk", CASES)
+@pytest.mark.parametrize("n,b", [(257, 32), (512, 64)])
+def test_primal_matches_reference(jr, jc, mk, n, b):
+    t, y, yerr = _mk_data(n)
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    cf = _pack(jr, jc, mk())
+
+    ll4, ok4 = fused4.run_primal(cf, plan, jr, jc, interpret=True)
+    llr, okr = _ref_ll(cf, plan, jr, jc)
+    assert bool(ok4) and bool(okr)
+    np.testing.assert_allclose(float(ll4), float(llr), rtol=1e-12)
+
+
+@pytest.mark.parametrize("jr,jc,mk", CASES)
+def test_grad_matches_reference(jr, jc, mk):
+    n, b = 257, 32
+    t, y, yerr = _mk_data(n, seed=3)
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    cf = _pack(jr, jc, mk())
+
+    fn = fused4.build_ll_and_grad(plan, jr, jc, interpret=True)
+
+    def f4(cf, y4):
+        ll, _ = fn(cf, y4)
+        return ll
+
+    def fr(cf, y4):
+        ll, _ = _ref_ll(cf, plan, jr, jc, y4=y4)
+        return ll
+
+    ll4 = f4(cf, plan.y)
+    llr = fr(cf, plan.y)
+    np.testing.assert_allclose(float(ll4), float(llr), rtol=1e-12)
+
+    g4_cf, g4_y = jax.grad(f4, argnums=(0, 1))(cf, plan.y)
+    gr_cf, gr_y = jax.grad(fr, argnums=(0, 1))(cf, plan.y)
+    np.testing.assert_allclose(
+        np.asarray(g4_cf), np.asarray(gr_cf), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(g4_y), np.asarray(gr_y), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_grad_finite_difference():
+    n, b = 193, 32
+    jr, jc = 0, 1
+    t, y, yerr = _mk_data(n, seed=7)
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    cf = _pack(jr, jc, [0.9, 0.2, 0.8, 1.7])
+
+    fn = fused4.build_ll_and_grad(plan, jr, jc, interpret=True)
+
+    def f(cfv):
+        ll, _ = fn(cfv, plan.y)
+        return ll
+
+    g = np.asarray(jax.grad(f)(cf))
+    eps = 1e-6
+    for k in range(cf.shape[0]):
+        e = np.zeros(cf.shape[0])
+        e[k] = eps
+        fd = (float(f(cf + e)) - float(f(cf - e))) / (2 * eps)
+        np.testing.assert_allclose(g[k], fd, rtol=2e-5, atol=1e-7)
+
+
+def test_pack_cf_roundtrip():
+    from celerite_tpu.ops.lower import Coefficients
+
+    coeffs = Coefficients(
+        a_real=jnp.asarray([0.5, 0.3]),
+        c_real=jnp.asarray([1.1, 0.6]),
+        a_comp=jnp.asarray([0.7]),
+        b_comp=jnp.asarray([0.2]),
+        c_comp=jnp.asarray([0.5]),
+        d_comp=jnp.asarray([2.3]),
+        jitter=jnp.asarray(0.05),
+    )
+    cf = lanes4.pack_cf(coeffs, dtype=jnp.float64)
+    assert cf.shape[0] == lanes4.cf_len(2, 1)
+    np.testing.assert_allclose(
+        float(cf[-1]), 0.5 + 0.3 + 0.7 + 0.05, rtol=1e-12
+    )

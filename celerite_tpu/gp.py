@@ -329,6 +329,96 @@ class GP(ModelSet):
             and not has_general
             and (_pr + 2 * _pc) > 0
         )
+        # Full-tile path (ops/fused4.py): in-kernel lowering + flat
+        # cross-block prefixes; primal and reverse-mode gradient in a
+        # handful of ms at N=1e6.  Models up to padded width 8 (the
+        # in-kernel prefix scan's VMEM budget); wider models use the
+        # 3-D pipeline below.
+        if use_lanes and (_pr + 2 * _pc) <= 8 and fast_grad != "tangent":
+            from .ops import fused4 as _f4
+            from .ops import lanes4 as _lanes4
+
+            n_pts = int(t.shape[0])
+            _p4 = _pr + 2 * _pc
+            nb4 = block_size or _lanes4.default_num_blocks4(n_pts, _p4)
+            plan4 = _lanes4.make_plan4(
+                t_np, np.asarray(y, np.float64),
+                np.asarray(diag, np.float64), nb4,
+                dtype=np.dtype(t.dtype),
+            )
+            on_tpu = jax.default_backend() == "tpu"
+            interp4 = not on_tpu
+            _ll_prim = _f4.build_ll(plan4, _pr, _pc, interpret=interp4)
+            _ll_grad = _f4.build_ll_and_grad(
+                plan4, _pr, _pc, interpret=interp4
+            )
+
+            def _cf_y(theta):
+                full = fixed.at[idx].set(theta) if len(idx) else fixed
+                kp, mp = full[:nk], full[nk:]
+                coeffs = Coefficients(
+                    *kernel.get_padded_coefficients(kp),
+                    jitter=kernel.get_jitter(kp),
+                )
+                cf = _lanes4.pack_cf(coeffs, dtype=plan4.t.dtype)
+                y4 = plan4.y - mean_fn(mp, plan4.t) * plan4.mask
+                return cf, y4
+
+            @jax.custom_vjp
+            def loglik_lanes4(theta):
+                cf, y4 = _cf_y(theta)
+                return _ll_prim(cf, y4)
+
+            def _l4fwd(theta):
+                return loglik_lanes4(theta), theta
+
+            def _l4bwd(theta, g):
+                g_ll, _ = g
+                if on_tpu:
+                    def ll_only(th):
+                        cf, y4 = _cf_y(th)
+                        return _ll_grad(cf, y4)[0]
+                else:
+                    from .ops import blocked as _blocked
+
+                    def ll_only(th):
+                        full = fixed.at[idx].set(th) if len(idx) else fixed
+                        kp, mp = full[:nk], full[nk:]
+                        coeffs = Coefficients(
+                            *kernel.get_padded_coefficients(kp),
+                            jitter=kernel.get_jitter(kp),
+                        )
+                        resid = y - mean_fn(mp, t)
+                        ssm = lower(coeffs, t, diag, **lower_kw)
+                        return _blocked.gp_log_likelihood(ssm, resid)[0]
+
+                _, vjp = jax.vjp(ll_only, theta)
+                return (vjp(g_ll)[0],)
+
+            loglik_lanes4.defvjp(_l4fwd, _l4bwd)
+
+            def _value_ok_grad4(theta):
+                """One-pass (ll, ok, grad) through the split adjoint
+                pipeline (saves forward + reversed-stream backward);
+                samplers consume this via ``value_and_grad``."""
+                if not on_tpu:
+                    (ll, ok), grad = jax.value_and_grad(
+                        loglik_lanes4, has_aux=True
+                    )(theta)
+                    return ll, ok, grad
+
+                def f(th):
+                    cf, y4 = _cf_y(th)
+                    return _ll_grad(cf, y4)
+
+                (ll, ok), grad = jax.value_and_grad(
+                    f, has_aux=True
+                )(theta)
+                return ll, ok, grad
+
+            loglik_lanes4.value_ok_grad = _value_ok_grad4
+            return loglik_lanes4
+
         if use_lanes:
             from .ops import fused as _fused
             from .ops import lanes as _lanes

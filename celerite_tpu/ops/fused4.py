@@ -165,19 +165,22 @@ def _lower_step(cf, jr, jc, t, tl, dt, dg, m, want_trig=False):
     needed by the backward chain: (cs, sn) unmasked trig values and the
     shared decay phi per term.
     """
+    def c(k):
+        return cf[k, 0]
+
     cols_u, cols_v, cols_p = [], [], []
     trig = []
     for j in range(jr):
-        ar = cf[j]
-        cr = cf[jr + j]
+        ar = c(j)
+        cr = c(jr + j)
         cols_u.append(ar * m)
         cols_v.append(m)
         cols_p.append(_ds.accurate_exp(-cr * dt))
     for j in range(jc):
-        ac = cf[2 * jr + j]
-        bc = cf[2 * jr + jc + j]
-        cc = cf[2 * jr + 2 * jc + j]
-        dc = cf[2 * jr + 3 * jc + j]
+        ac = c(2 * jr + j)
+        bc = c(2 * jr + jc + j)
+        cc = c(2 * jr + 2 * jc + j)
+        dc = c(2 * jr + 3 * jc + j)
         r_hi, r_lo = _ds.reduced_angle(dc, t, tl)
         cs = jnp.cos(r_hi) - r_lo * jnp.sin(r_hi)
         sn = jnp.sin(r_hi) + r_lo * jnp.cos(r_hi)
@@ -189,7 +192,7 @@ def _lower_step(cf, jr, jc, t, tl, dt, dg, m, want_trig=False):
         cols_p += [ph_j, ph_j]
         if want_trig:
             trig.append((cm, sm, ph_j))
-    total = cf[2 * jr + 4 * jc]
+    total = c(2 * jr + 4 * jc)
     u = jnp.stack(cols_u, axis=0)
     v = jnp.stack(cols_v, axis=0)
     ph = jnp.stack(cols_p, axis=0)
@@ -210,13 +213,13 @@ def _chain_step(cf, jr, jc, hu, hv, hph, ha, trig, t, tl, dt, m, hcf_ref):
     """
     for j in range(jr):
         hcf_ref[j] += hu[j] * m
-        ph_j = _ds.accurate_exp(-cf[jr + j] * dt)
+        ph_j = _ds.accurate_exp(-cf[jr + j, 0] * dt)
         hcf_ref[jr + j] += hph[j] * ph_j * (-dt)
     for j in range(jc):
         p0 = jr + 2 * j
         p1 = p0 + 1
-        ac = cf[2 * jr + j]
-        bc = cf[2 * jr + jc + j]
+        ac = cf[2 * jr + j, 0]
+        bc = cf[2 * jr + jc + j, 0]
         cm, sm, ph_j = trig[j]
         hcf_ref[2 * jr + j] += hu[p0] * cm + hu[p1] * sm
         hcf_ref[2 * jr + jc + j] += hu[p0] * sm - hu[p1] * cm
@@ -404,7 +407,7 @@ def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
             pltpu.VMEM((1, s8, w), dtype),     # mind
         ],
         interpret=interpret,
-    )(cf, plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y)
+    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y)
 
     ll = -0.5 * (
         quad[0, 0] + ld[0, 0]
@@ -766,7 +769,7 @@ def _run_elem_fwd(cf, plan, jr, jc, interpret=False):
             jax.ShapeDtypeStruct((L, 2 * p * p, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf, plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask)
+    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask)
 
 
 def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
@@ -792,7 +795,7 @@ def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
         out_shape=jax.ShapeDtypeStruct((c, s8, w), dtype),
         scratch_shapes=[pltpu.VMEM((p, p, s8, w), dtype)] * 3,
         interpret=interpret,
-    )(cf, plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask,
+    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask,
       sv, hA0, hJ0, hC0)
 
 
@@ -833,7 +836,7 @@ def _run_factor_fwd(cf, plan, jr, jc, y, sh0, interpret=False):
             pltpu.VMEM((1, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf, plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y, sh0)
+    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y, sh0)
 
 
 def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
@@ -874,7 +877,7 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
             pltpu.VMEM((p, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf, plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y,
+    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y,
       sv, hM0, hm0, hQm, hqv, hq0, hld)
 
 

@@ -416,7 +416,93 @@ class GP(ModelSet):
                 )(theta)
                 return ll, ok, grad
 
-            loglik_lanes4.value_ok_grad = _value_ok_grad4
+            # Chain-folding: under jax.vmap (sampler chains), fold the
+            # batch axis onto the kernel's virtual-lane axis instead of
+            # serializing pallas launches — one kernel evaluates every
+            # chain.  Requires kernel-only active parameters (per-chain
+            # mean values would need per-chain data streams).
+            _foldable = on_tpu and (len(idx) == 0 or int(idx.max()) < nk)
+            _mp_fixed = fixed[nk:]
+            # Host-side residual for the folded plans, computed OUTSIDE
+            # any trace: the rule below runs at trace time, and caching
+            # a traced array there would leak a tracer into another
+            # trace's jaxpr constants.
+            if _foldable:
+                _y4_np = np.asarray(y, np.float64) - np.asarray(
+                    mean_fn(_mp_fixed, t), np.float64
+                )
+            _folded_cache = {}
+
+            def _cf_of_kernel(th):
+                full = fixed.at[idx].set(th) if len(idx) else fixed
+                kp = full[:nk]
+                coeffs = Coefficients(
+                    *kernel.get_padded_coefficients(kp),
+                    jitter=kernel.get_jitter(kp),
+                )
+                return _lanes4.pack_cf(coeffs, dtype=plan4.t.dtype)
+
+            _diag_np = np.asarray(diag, np.float64)
+
+            def _get_folded(nc):
+                if nc not in _folded_cache:
+                    # Lane budget measured on v5e: wider than 2048 total
+                    # lanes hurts at P=8 (save-stream VMEM pressure).
+                    cap = 4096 if _p4 <= 4 else 2048
+                    bc = max(8, cap // nc)
+                    while bc > 8 and bc > 2 * n_pts:
+                        bc //= 2
+                    # First call happens inside the batching rule,
+                    # i.e. at trace time: build the plan's device
+                    # constants outside the ambient trace or the cache
+                    # would hold leaked tracers.
+                    with jax.ensure_compile_time_eval():
+                        planb = _lanes4.make_plan4(
+                            t_np, _y4_np, _diag_np, bc,
+                            dtype=np.dtype(t.dtype), n_chain=nc,
+                        )
+                    fnb = _f4.build_ll_and_grad(
+                        planb, _pr, _pc, n_chain=nc, interpret=interp4
+                    )
+                    _folded_cache[nc] = (planb, fnb)
+                return _folded_cache[nc]
+
+            def _batched_vog(thetas):
+                """Chain-folded (ll, ok, grad) for a (n, dim) batch —
+                the batching rule of the value_ok_grad primitive; one
+                kernel launch evaluates every chain."""
+                axis_size = thetas.shape[0]
+                if not _foldable or axis_size == 1:
+                    return jax.lax.map(_value_ok_grad4, thetas)
+                nc = 1 << max(0, int(axis_size) - 1).bit_length()
+                padn = nc - axis_size
+                th = (
+                    jnp.concatenate(
+                        [thetas,
+                         jnp.broadcast_to(
+                             thetas[:1], (padn,) + thetas.shape[1:]
+                         )]
+                    )
+                    if padn
+                    else thetas
+                )
+                planb, fnb = _get_folded(nc)
+
+                def f(th):
+                    cfs = jax.vmap(_cf_of_kernel)(th)
+                    ll, ok = fnb(cfs, planb.y)
+                    return jnp.sum(ll), (ll, ok)
+
+                (_, (ll, ok)), grads = jax.value_and_grad(
+                    f, has_aux=True
+                )(th)
+                return ll[:axis_size], ok[:axis_size], grads[:axis_size]
+
+            from .ops.vog_prim import make_vog
+
+            loglik_lanes4.value_ok_grad = make_vog(
+                _value_ok_grad4, _batched_vog, int(mask.sum()), t.dtype
+            )
             return loglik_lanes4
 
         if use_lanes:

@@ -336,9 +336,16 @@ def _build_segments(
     )
 
     def vkernel(data, qs, keys, eps, im):
+        lp = lambda th: logprob_data_fn(data, th)
+        # Propagate the fused value+gradient entry point through the
+        # data-binding wrapper — it is how the hand-written gradient
+        # kernels (and their chain-folded batching rule) reach the
+        # leapfrog integrator.
+        _vag = getattr(logprob_data_fn, "value_and_grad", None)
+        if _vag is not None:
+            lp.value_and_grad = lambda th: _vag(data, th)
         kernel = lambda q, k: nuts_kernel(
-            lambda th: logprob_data_fn(data, th), q, k, eps, im,
-            max_tree_depth=max_tree_depth,
+            lp, q, k, eps, im, max_tree_depth=max_tree_depth,
         )
         return jax.vmap(kernel)(qs, keys)
 
@@ -453,9 +460,13 @@ def sample_nuts(
     n_chains, dim = init_params.shape
     dtype = init_params.dtype
 
+    _lpd = lambda data, th: logprob_fn(th)
+    _vag = getattr(logprob_fn, "value_and_grad", None)
+    if _vag is not None:
+        _lpd.value_and_grad = lambda data, th: _vag(th)
     init_carry, warm_seg_fn, samp_seg_fn, pooled_mean, pooled_sum = (
         _build_segments(
-            lambda data, th: logprob_fn(th),
+            _lpd,
             n_chains, dim, dtype, max_tree_depth, target_accept,
             axis_name,
         )

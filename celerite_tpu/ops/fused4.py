@@ -134,11 +134,45 @@ def _vl_iota(shape, w):
     return ii * w + jj
 
 
-def _shift_vl(x, ident, w):
-    """Exclusive shift by one virtual lane; lane 0 becomes ``ident``."""
+def _shift_vl(x, ident, w, seg=None):
+    """Exclusive shift by one virtual lane; segment starts get ``ident``.
+
+    ``seg`` = lanes per independent segment (power of two; default = all
+    lanes).  Segments are the chain-folding boundaries: lane streams of
+    different chains/datasets must not exchange state.
+    """
     rolled = _roll_vl(x, 1, w)
     lidx = _vl_iota(x.shape, w)
+    if seg is not None:
+        lidx = lidx % seg
     return jnp.where(lidx == 0, ident, rolled)
+
+
+def _planes(cf, s8, w):
+    """Coefficient input -> (C, 8, W) per-lane planes.
+
+    A flat ``(C,)`` vector broadcasts (single model across all lanes); a
+    ``(n_chain, C)`` batch repeats each chain's value over its lane
+    segment (chain-folding: the batch axis lives on the lane axis, so
+    vmapped-chain workloads run one kernel launch instead of a
+    serialized outer grid).
+    """
+    if cf.ndim == 1:
+        return jnp.broadcast_to(cf[:, None, None], (cf.shape[0], s8, w))
+    nc, c = cf.shape
+    seg = (s8 * w) // nc
+    return jnp.repeat(cf.T, seg, axis=1).reshape(c, s8, w)
+
+
+def _seg_sum(x, seg):
+    """Per-segment sums of a per-lane (1, 8, W) value -> (n_seg,)."""
+    flat = x.reshape(-1)
+    return jnp.sum(flat.reshape(-1, seg), axis=1)
+
+
+def _seg_min(x, seg):
+    flat = x.reshape(-1)
+    return jnp.min(flat.reshape(-1, seg), axis=1)
 
 
 def _compose_elem(a1, j1, c1, a2, j2, c2, eye):
@@ -166,7 +200,7 @@ def _lower_step(cf, jr, jc, t, tl, dt, dg, m, want_trig=False):
     shared decay phi per term.
     """
     def c(k):
-        return cf[k, 0]
+        return cf[k]
 
     cols_u, cols_v, cols_p = [], [], []
     trig = []
@@ -213,13 +247,13 @@ def _chain_step(cf, jr, jc, hu, hv, hph, ha, trig, t, tl, dt, m, hcf_ref):
     """
     for j in range(jr):
         hcf_ref[j] += hu[j] * m
-        ph_j = _ds.accurate_exp(-cf[jr + j, 0] * dt)
+        ph_j = _ds.accurate_exp(-cf[jr + j] * dt)
         hcf_ref[jr + j] += hph[j] * ph_j * (-dt)
     for j in range(jc):
         p0 = jr + 2 * j
         p1 = p0 + 1
-        ac = cf[2 * jr + j, 0]
-        bc = cf[2 * jr + jc + j, 0]
+        ac = cf[2 * jr + j]
+        bc = cf[2 * jr + jc + j]
         cm, sm, ph_j = trig[j]
         hcf_ref[2 * jr + j] += hu[p0] * cm + hu[p1] * sm
         hcf_ref[2 * jr + jc + j] += hu[p0] * sm - hu[p1] * cm
@@ -238,7 +272,7 @@ def _chain_step(cf, jr, jc, hu, hv, hph, ha, trig, t, tl, dt, m, hcf_ref):
 # ---------------------------------------------------------------------------
 
 
-def _primal_kernel(jr, jc,
+def _primal_kernel(jr, jc, seg,
                    cf_ref, t_ref, tl_ref, dt_ref, dg_ref, m_ref, y_ref,
                    quad_out, ld_out, mind_out,
                    Sh, Ac, Jc, Mc, mc, Qm, qv, q0, cq0, ld, cld, mind):
@@ -280,10 +314,9 @@ def _primal_kernel(jr, jc,
     @pl.when((phase == 1) & (i == 0))
     def _():
         A_s, J_s, C_s = Ac[:], Jc[:], Sh[:]
-        b = s8 * w
         s = 1
-        while s < b:
-            lidx = _vl_iota((p, p, s8, w), w)
+        while s < seg:
+            lidx = _vl_iota((p, p, s8, w), w) % seg
             a1 = _roll_vl(A_s, s, w)
             j1 = _roll_vl(J_s, s, w)
             c1 = _roll_vl(C_s, s, w)
@@ -293,7 +326,7 @@ def _primal_kernel(jr, jc,
             J_s = jnp.where(keep, J_s, cj)
             C_s = jnp.where(keep, C_s, cc)
             s *= 2
-        Sh[:] = _shift_vl(C_s, jnp.zeros_like(C_s), w)
+        Sh[:] = _shift_vl(C_s, jnp.zeros_like(C_s), w, seg)
 
         Mc[:] = eye
         mc[:] = jnp.zeros_like(mc)
@@ -338,11 +371,10 @@ def _primal_kernel(jr, jc,
     @pl.when((phase == 1) & (i == L - 1))
     def _():
         M_s, m_s = Mc[:], mc[:]
-        b = s8 * w
         s = 1
-        while s < b:
-            lidx_m = _vl_iota((p, p, s8, w), w)
-            lidx_v = _vl_iota((p, s8, w), w)
+        while s < seg:
+            lidx_m = _vl_iota((p, p, s8, w), w) % seg
+            lidx_v = _vl_iota((p, s8, w), w) % seg
             m1 = _roll_vl(M_s, s, w)
             v1 = _roll_vl(m_s, s, w)
             cm = _mm(M_s, m1)
@@ -350,7 +382,7 @@ def _primal_kernel(jr, jc,
             M_s = jnp.where(lidx_m < s, M_s, cm)
             m_s = jnp.where(lidx_v < s, m_s, cv)
             s *= 2
-        h = _shift_vl(m_s, jnp.zeros_like(m_s), w)
+        h = _shift_vl(m_s, jnp.zeros_like(m_s), w, seg)
 
         Qh = jnp.sum(Qm[:] * _bj(h), axis=-3)
         quad_b = (
@@ -358,9 +390,9 @@ def _primal_kernel(jr, jc,
             - 2.0 * jnp.sum(qv[:] * h, axis=0, keepdims=True)
             + jnp.sum(h * Qh, axis=0, keepdims=True)
         )
-        quad_out[:] = jnp.sum(quad_b).reshape(1, 1)
-        ld_out[:] = jnp.sum(ld[:] + cld[:]).reshape(1, 1)
-        mind_out[:] = jnp.min(mind[:]).reshape(1, 1)
+        quad_out[:] = quad_b
+        ld_out[:] = ld[:] + cld[:]
+        mind_out[:] = mind[:]
 
 
 def _static_specs(s8, w):
@@ -372,26 +404,33 @@ def _static_specs(s8, w):
 def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
     """(ll, ok) from the packed coefficient vector and a Plan4.
 
-    ``y`` overrides the plan's data stream (mean-model residuals),
-    shaped (L, 8, W).  No AD rule — use :func:`build_ll_and_grad`.
+    ``cf`` is a flat ``(C,)`` vector for a single model, or an
+    ``(n_chain, C)`` batch on a chain-folded plan (lanes4.make_plan4
+    with ``n_chain > 1``) — then (ll, ok) come back per chain.  ``y``
+    overrides the plan's data stream (mean-model residuals), shaped
+    (L, 8, W).  No AD rule — use :func:`build_ll_and_grad`.
     """
     L, s8, w = plan.t.shape
     p = jr + 2 * jc
+    c = cf_len(jr, jc)
+    nc = 1 if cf.ndim == 1 else cf.shape[0]
+    seg = (s8 * w) // nc
     dtype = plan.t.dtype
     if y is None:
         y = plan.y
 
     step = _static_specs(s8, w)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    scal = pl.BlockSpec((1, 1), lambda ph, i: (0, 0),
-                        memory_space=pltpu.VMEM)
+    cfspec = pl.BlockSpec((c, s8, w), lambda ph, i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full_1 = pl.BlockSpec((1, s8, w), lambda ph, i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     quad, ld, mind = pl.pallas_call(
-        functools.partial(_primal_kernel, jr, jc),
+        functools.partial(_primal_kernel, jr, jc, seg),
         grid=(2, L),
-        in_specs=[smem, step, step, step, step, step, step],
-        out_specs=[scal, scal, scal],
-        out_shape=[jax.ShapeDtypeStruct((1, 1), dtype)] * 3,
+        in_specs=[cfspec, step, step, step, step, step, step],
+        out_specs=[full_1, full_1, full_1],
+        out_shape=[jax.ShapeDtypeStruct((1, s8, w), dtype)] * 3,
         scratch_shapes=[
             pltpu.VMEM((p, p, s8, w), dtype),  # Sh
             pltpu.VMEM((p, p, s8, w), dtype),  # Ac
@@ -407,14 +446,18 @@ def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
             pltpu.VMEM((1, s8, w), dtype),     # mind
         ],
         interpret=interpret,
-    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y)
+    )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag,
+      plan.mask, y)
 
-    ll = -0.5 * (
-        quad[0, 0] + ld[0, 0]
+    llv = -0.5 * (
+        _seg_sum(quad, seg) + _seg_sum(ld, seg)
         + plan.n * jnp.log(2.0 * jnp.pi).astype(dtype)
     )
-    ok = (mind[0, 0] > 0) & jnp.isfinite(ll)
-    return jnp.where(ok, ll, -jnp.inf), ok
+    okv = (_seg_min(mind, seg) > 0) & jnp.isfinite(llv)
+    llv = jnp.where(okv, llv, -jnp.inf)
+    if cf.ndim == 1:
+        return llv[0], okv[0]
+    return llv, okv
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +795,8 @@ def _run_elem_fwd(cf, plan, jr, jc, interpret=False):
     p = jr + 2 * jc
     dtype = plan.t.dtype
     step = _specs1(s8, w)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cfspec = pl.BlockSpec((cf_len(jr, jc), s8, w),
+                          lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     full_pp = pl.BlockSpec((p, p, s8, w), lambda i: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     step_sv = pl.BlockSpec((1, 2 * p * p, s8, w), lambda i: (i, 0, 0, 0),
@@ -760,7 +804,7 @@ def _run_elem_fwd(cf, plan, jr, jc, interpret=False):
     return pl.pallas_call(
         functools.partial(_elem_fwd_kernel, jr, jc),
         grid=(L,),
-        in_specs=[smem, step, step, step, step, step],
+        in_specs=[cfspec, step, step, step, step, step],
         out_specs=[full_pp, full_pp, full_pp, step_sv],
         out_shape=[
             jax.ShapeDtypeStruct((p, p, s8, w), dtype),
@@ -769,7 +813,7 @@ def _run_elem_fwd(cf, plan, jr, jc, interpret=False):
             jax.ShapeDtypeStruct((L, 2 * p * p, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask)
+    )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask)
 
 
 def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
@@ -778,7 +822,8 @@ def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
     dtype = plan.t.dtype
     c = cf_len(jr, jc)
     rstep = _rspecs1(s8, w, L)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cfspec = pl.BlockSpec((cf_len(jr, jc), s8, w),
+                          lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     full_pp = pl.BlockSpec((p, p, s8, w), lambda i: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full_c = pl.BlockSpec((c, s8, w), lambda i: (0, 0, 0),
@@ -789,13 +834,13 @@ def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
     return pl.pallas_call(
         functools.partial(_elem_bwd_kernel, jr, jc),
         grid=(L,),
-        in_specs=[smem, rstep, rstep, rstep, rstep, rstep,
+        in_specs=[cfspec, rstep, rstep, rstep, rstep, rstep,
                   rstep_sv, full_pp, full_pp, full_pp],
         out_specs=full_c,
         out_shape=jax.ShapeDtypeStruct((c, s8, w), dtype),
         scratch_shapes=[pltpu.VMEM((p, p, s8, w), dtype)] * 3,
         interpret=interpret,
-    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask,
+    )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask,
       sv, hA0, hJ0, hC0)
 
 
@@ -804,7 +849,8 @@ def _run_factor_fwd(cf, plan, jr, jc, y, sh0, interpret=False):
     p = jr + 2 * jc
     dtype = plan.t.dtype
     step = _specs1(s8, w)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cfspec = pl.BlockSpec((cf_len(jr, jc), s8, w),
+                          lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     full_pp = pl.BlockSpec((p, p, s8, w), lambda i: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full_p = pl.BlockSpec((p, s8, w), lambda i: (0, 0, 0),
@@ -817,7 +863,7 @@ def _run_factor_fwd(cf, plan, jr, jc, y, sh0, interpret=False):
     return pl.pallas_call(
         functools.partial(_factor_fwd_kernel, jr, jc),
         grid=(L,),
-        in_specs=[smem, step, step, step, step, step, step, full_pp],
+        in_specs=[cfspec, step, step, step, step, step, step, full_pp],
         out_specs=[full_pp, full_p, full_pp, full_p, full_1, full_1,
                    full_1, step_sv],
         out_shape=[
@@ -836,7 +882,7 @@ def _run_factor_fwd(cf, plan, jr, jc, y, sh0, interpret=False):
             pltpu.VMEM((1, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y, sh0)
+    )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y, sh0)
 
 
 def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
@@ -846,7 +892,8 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
     c = cf_len(jr, jc)
     hM0, hm0, hQm, hqv, hq0, hld = cots
     rstep = _rspecs1(s8, w, L)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cfspec = pl.BlockSpec((cf_len(jr, jc), s8, w),
+                          lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     full_pp = pl.BlockSpec((p, p, s8, w), lambda i: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full_p = pl.BlockSpec((p, s8, w), lambda i: (0, 0, 0),
@@ -862,7 +909,7 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
     return pl.pallas_call(
         functools.partial(_factor_bwd_kernel, jr, jc),
         grid=(L,),
-        in_specs=[smem, rstep, rstep, rstep, rstep, rstep, rstep,
+        in_specs=[cfspec, rstep, rstep, rstep, rstep, rstep, rstep,
                   rstep_sv, full_pp, full_p, full_pp, full_p, full_1,
                   full_1],
         out_specs=[full_c, rstep, full_pp],
@@ -877,7 +924,7 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
             pltpu.VMEM((p, s8, w), dtype),
         ],
         interpret=interpret,
-    )(cf[..., None], plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y,
+    )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y,
       sv, hM0, hm0, hQm, hqv, hq0, hld)
 
 
@@ -887,22 +934,24 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
 
 
 @f32_matmuls
-def _prefix_sh0(A, J, C):
+def _prefix_sh0(A, J, C, seg=None):
     """Exclusive-prefix C (the factor seeds) from per-block elements.
 
     Flat unrolled Hillis-Steele directly on the native ``(P, P, 8, W)``
     layout.  ``lax.associative_scan`` compiles to a slice-heavy
     odd/even recursion that XLA cannot fuse — measured 50 ms forward /
     126 ms VJP at B=4096 on v5e, vs 1.4 / 2.4 ms for this flat form
-    (log2(B) chunky full-tile fusions).
+    (log2(B) chunky full-tile fusions).  ``seg`` segments the scan at
+    chain-folding boundaries.
     """
     p = A.shape[0]
     s8, w = A.shape[-2], A.shape[-1]
     eye = _eye(p, s8, w, A.dtype)
-    b = s8 * w
+    if seg is None:
+        seg = s8 * w
     s = 1
-    while s < b:
-        lidx = _vl_iota((p, p, s8, w), w)
+    while s < seg:
+        lidx = _vl_iota((p, p, s8, w), w) % seg
         a1 = _roll_vl(A, s, w)
         j1 = _roll_vl(J, s, w)
         c1 = _roll_vl(C, s, w)
@@ -912,22 +961,25 @@ def _prefix_sh0(A, J, C):
         J = jnp.where(keep, J, cj)
         C = jnp.where(keep, C, cc)
         s *= 2
-    return _shift_vl(C, jnp.zeros_like(C), w)
+    return _shift_vl(C, jnp.zeros_like(C), w, seg)
 
 
 @f32_matmuls
-def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype):
+def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype, seg=None):
     """Affine prefix over blocks + quadratic-form assembly -> ll.
 
-    Same flat Hillis-Steele rationale as :func:`_prefix_sh0`.
+    Same flat Hillis-Steele rationale as :func:`_prefix_sh0`.  With
+    ``seg`` set, returns an ``(n_seg,)`` vector of per-chain lls.
     """
     p = M.shape[0]
     s8, w = M.shape[-2], M.shape[-1]
-    b = s8 * w
+    scalar = seg is None
+    if scalar:
+        seg = s8 * w
     s = 1
-    while s < b:
-        lidx_m = _vl_iota((p, p, s8, w), w)
-        lidx_v = _vl_iota((p, s8, w), w)
+    while s < seg:
+        lidx_m = _vl_iota((p, p, s8, w), w) % seg
+        lidx_v = _vl_iota((p, s8, w), w) % seg
         m1 = _roll_vl(M, s, w)
         v1 = _roll_vl(m, s, w)
         cm = _mm(M, m1)
@@ -935,16 +987,18 @@ def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype):
         M = jnp.where(lidx_m < s, M, cm)
         m = jnp.where(lidx_v < s, m, cv)
         s *= 2
-    h = _shift_vl(m, jnp.zeros_like(m), w)
+    h = _shift_vl(m, jnp.zeros_like(m), w, seg)
 
     Qh = jnp.sum(Qm * h[None], axis=1)
-    quad = jnp.sum(
-        q0[0] - 2.0 * jnp.sum(qv * h, axis=0) + jnp.sum(h * Qh, axis=0)
+    quad_l = (
+        q0 - 2.0 * jnp.sum(qv * h, axis=0, keepdims=True)
+        + jnp.sum(h * Qh, axis=0, keepdims=True)
     )
-    logdet = jnp.sum(ld)
-    return -0.5 * (
-        quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(dtype)
+    ll = -0.5 * (
+        _seg_sum(quad_l, seg) + _seg_sum(ld, seg)
+        + n * jnp.log(2.0 * jnp.pi).astype(dtype)
     )
+    return ll[0] if scalar else ll
 
 
 # ---------------------------------------------------------------------------
@@ -961,7 +1015,7 @@ def build_ll(plan: Plan4, jr, jc, interpret=False):
     return fn
 
 
-def build_ll_and_grad(plan: Plan4, jr, jc, interpret=False):
+def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
     """``(cf, y4) -> (ll, ok)`` differentiable w.r.t. cf and y4.
 
     Forward: split elements/factor kernels with per-step saves (the
@@ -969,8 +1023,14 @@ def build_ll_and_grad(plan: Plan4, jr, jc, interpret=False):
     reverse-differentiate automatically).  Backward: the two reversed
     streaming kernels above, emitting packed-coefficient and data
     cotangents directly.
+
+    With ``n_chain > 1`` the plan must be chain-folded
+    (lanes4.make_plan4 with the same ``n_chain``), ``cf`` is an
+    ``(n_chain, C)`` batch, and (ll, ok) come back per chain — one
+    kernel launch for the whole batch.
     """
-    c = cf_len(jr, jc)
+    _, s8, w = plan.t.shape
+    seg = (s8 * w) // n_chain
 
     @jax.custom_vjp
     def core(cf, y4):
@@ -981,7 +1041,7 @@ def build_ll_and_grad(plan: Plan4, jr, jc, interpret=False):
         A_el, J_el, C_el, sv0 = _run_elem_fwd(
             cf, plan, jr, jc, interpret=interpret
         )
-        sh0 = _prefix_sh0(A_el, J_el, C_el)
+        sh0 = _prefix_sh0(A_el, J_el, C_el, seg)
         M, m, Qm, qv, q0, ld, mind, sv1 = _run_factor_fwd(
             cf, plan, jr, jc, y4, sh0, interpret=interpret
         )
@@ -996,12 +1056,20 @@ def build_ll_and_grad(plan: Plan4, jr, jc, interpret=False):
             cf, plan, jr, jc, y4, sv1, (hM, hm, hQm, hqv, hq0, hld),
             interpret=interpret,
         )
-        _, vjp = jax.vjp(_prefix_sh0, A_el, J_el, C_el)
+        _, vjp = jax.vjp(
+            lambda a, j, c_: _prefix_sh0(a, j, c_, seg), A_el, J_el, C_el
+        )
         hA0, hJ0, hC0 = vjp(hsh0)
         hcf0 = _run_elem_bwd(
             cf, plan, jr, jc, sv0, hA0, hJ0, hC0, interpret=interpret
         )
-        hcf = jnp.sum(hcf0 + hcf1, axis=(1, 2))
+        hrows = hcf0 + hcf1
+        if n_chain == 1:
+            hcf = jnp.sum(hrows, axis=(1, 2))
+        else:
+            hcf = jnp.sum(
+                hrows.reshape(hrows.shape[0], n_chain, seg), axis=2
+            ).T
         return hcf, hy
 
     core.defvjp(core_fwd, core_bwd)
@@ -1010,8 +1078,14 @@ def build_ll_and_grad(plan: Plan4, jr, jc, interpret=False):
         if y4 is None:
             y4 = plan.y
         M, m, Qm, qv, q0, ld, mind = core(cf, y4)
-        ll = _assemble_ll(M, m, Qm, qv, q0, ld, plan.n, cf.dtype)
-        ok = (jax.lax.stop_gradient(jnp.min(mind)) > 0) & jnp.isfinite(
+        ll = _assemble_ll(
+            M, m, Qm, qv, q0, ld, plan.n, cf.dtype,
+            seg=None if n_chain == 1 else seg,
+        )
+        mind_c = (
+            jnp.min(mind) if n_chain == 1 else _seg_min(mind, seg)
+        )
+        ok = (jax.lax.stop_gradient(mind_c) > 0) & jnp.isfinite(
             jax.lax.stop_gradient(ll)
         )
         return jnp.where(ok, ll, -jnp.inf), ok

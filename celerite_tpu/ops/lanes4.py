@@ -56,14 +56,15 @@ class Plan4(NamedTuple):
 
 
 def default_num_blocks4(n, p=None):
-    """Virtual-lane count for the 4-D kernels (power of two, >= 256).
+    """Virtual-lane count for the 4-D kernels (power of two, >= 1024).
 
-    Same sizing rule as ops/fused.default_num_blocks: enough blocks to
-    shorten the sequential depth, capped so the in-kernel prefix-scan
+    The (8, W) minor dims need W = B/8 >= 128 for full-width vector
+    tiles, so B >= 1024 always.  Beyond that: enough blocks to shorten
+    the sequential depth, capped so the in-kernel prefix-scan
     temporaries fit scoped VMEM (P-aware).
     """
     cap = 4096 if (p is None or p <= 4) else 2048
-    b = 256
+    b = 1024
     while b * 2 * 64 <= n and b < cap:
         b *= 2
     return b
@@ -77,17 +78,29 @@ def _lane4(x64, b, L, dtype=np.float32):
     )
 
 
-def make_plan4(t, y, diag, num_blocks, dtype=np.float32) -> Plan4:
+def make_plan4(t, y, diag, num_blocks, dtype=np.float32,
+               n_chain=1) -> Plan4:
     """Host-side plan construction from float64 inputs.
 
     Padding/spacing contract matches ops/lanes.make_plan: spacings are
     differenced in f64; every block's first row keeps its true spacing
     (blocks are seeded by the cross-block prefix, not by resetting the
     recursion); only the global first point and pad rows get dt = 0.
+
+    ``n_chain > 1`` builds a *chain-folded* plan: the dataset's
+    ``num_blocks``-lane layout is tiled ``n_chain`` times along the
+    virtual-lane axis (total lanes = n_chain * num_blocks), so one
+    kernel launch evaluates n_chain independent models of the same data
+    — the batch axis for vmapped samplers lives on lanes instead of a
+    serialized outer pallas grid.  The cross-block prefix scans segment
+    at chain boundaries (ops/fused4).
     """
     b = int(num_blocks)
+    nc = int(n_chain)
     if b & (b - 1) or b % SUB:
         raise ValueError("num_blocks must be a power of two >= 8")
+    if nc & (nc - 1) or nc < 1:
+        raise ValueError("n_chain must be a power of two")
     t = np.asarray(t, np.float64)
     y = np.asarray(y, np.float64)
     diag = np.asarray(diag, np.float64)
@@ -96,7 +109,8 @@ def make_plan4(t, y, diag, num_blocks, dtype=np.float32) -> Plan4:
     pad = b * L - n
 
     def padded(x, fill):
-        return np.concatenate([x, np.full(pad, fill, np.float64)])
+        base = np.concatenate([x, np.full(pad, fill, np.float64)])
+        return np.tile(base, nc) if nc > 1 else base
 
     t_pad = padded(t, t[-1] if n else 0.0)
     dt = np.concatenate([[0.0], np.diff(t)])
@@ -108,15 +122,16 @@ def make_plan4(t, y, diag, num_blocks, dtype=np.float32) -> Plan4:
     t_hi = np.asarray(t_pad, dtype)
     t_lo = np.asarray(t_pad - np.asarray(t_hi, np.float64), dtype)
 
+    bt = b * nc
     return Plan4(
-        t=jnp.asarray(_lane4(t_hi, b, L, dtype)),
-        t_lo=jnp.asarray(_lane4(t_lo, b, L, dtype)),
-        dt=jnp.asarray(_lane4(dt_pad, b, L, dtype)),
-        diag=jnp.asarray(_lane4(diag_pad, b, L, dtype)),
-        y=jnp.asarray(_lane4(y_pad, b, L, dtype)),
-        mask=jnp.asarray(_lane4(mask, b, L, dtype)),
+        t=jnp.asarray(_lane4(t_hi, bt, L, dtype)),
+        t_lo=jnp.asarray(_lane4(t_lo, bt, L, dtype)),
+        dt=jnp.asarray(_lane4(dt_pad, bt, L, dtype)),
+        diag=jnp.asarray(_lane4(diag_pad, bt, L, dtype)),
+        y=jnp.asarray(_lane4(y_pad, bt, L, dtype)),
+        mask=jnp.asarray(_lane4(mask, bt, L, dtype)),
         n=n,
-        num_blocks=b,
+        num_blocks=bt,
     )
 
 

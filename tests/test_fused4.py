@@ -89,7 +89,7 @@ def _pack(jr, jc, vals, jitter=0.05):
 
 
 @pytest.mark.parametrize("jr,jc,mk", CASES)
-@pytest.mark.parametrize("n,b", [(257, 32), (512, 64)])
+@pytest.mark.parametrize("n,b", [(257, 32)])
 def test_primal_matches_reference(jr, jc, mk, n, b):
     t, y, yerr = _mk_data(n)
     plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
@@ -171,3 +171,44 @@ def test_pack_cf_roundtrip():
     np.testing.assert_allclose(
         float(cf[-1]), 0.5 + 0.3 + 0.7 + 0.05, rtol=1e-12
     )
+
+
+def test_chain_folded_batch():
+    """Chain-folding: (n_chain, C) batch on a tiled plan == per-chain runs."""
+    n, b, nc = 193, 32, 4
+    t, y, yerr = _mk_data(n, seed=11)
+    jr, jc = 0, 1
+    base = np.array([0.9, 0.2, 0.8, 1.7])
+    cfs = jnp.stack([
+        _pack(jr, jc, base * (1.0 + 0.05 * k)) for k in range(nc)
+    ])
+
+    plan1 = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    planb = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64,
+                              n_chain=nc)
+
+    # batched primal
+    llb, okb = fused4.run_primal(cfs, planb, jr, jc, interpret=True)
+    assert llb.shape == (nc,)
+    for k in range(nc):
+        ll1, ok1 = fused4.run_primal(cfs[k], plan1, jr, jc, interpret=True)
+        assert bool(okb[k]) == bool(ok1)
+        np.testing.assert_allclose(float(llb[k]), float(ll1), rtol=1e-12)
+
+    # batched gradient
+    fnb = fused4.build_ll_and_grad(planb, jr, jc, n_chain=nc,
+                                   interpret=True)
+    fn1 = fused4.build_ll_and_grad(plan1, jr, jc, interpret=True)
+
+    def fsum(cfs):
+        ll, _ = fnb(cfs, planb.y)
+        return jnp.sum(ll), ll
+
+    (tot, llv), gb = jax.value_and_grad(fsum, has_aux=True)(cfs)
+    for k in range(nc):
+        ll1, _ = fn1(cfs[k], plan1.y)
+        np.testing.assert_allclose(float(llv[k]), float(ll1), rtol=1e-12)
+        g1 = jax.grad(lambda c: fn1(c, plan1.y)[0])(cfs[k])
+        np.testing.assert_allclose(
+            np.asarray(gb[k]), np.asarray(g1), rtol=1e-9, atol=1e-12
+        )

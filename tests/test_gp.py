@@ -316,7 +316,12 @@ def test_incremental_kernel_sum():
         (1.0 + 10.0 / j, 0.01 + 10.0 / j, 0.5, 0.01) for j in range(1, 10)
     ]
     termlist += [(0.6, 0.7, 1.0), (0.3, 0.05, 0.5, 0.6)]
-    for par in termlist:
+    # The blocked-solver cross-check recompiles per increment (every
+    # increment changes P); run it at the first/middle/final ranks only
+    # to keep the suite's wall-clock down — the dense-oracle comparison
+    # still runs at every increment.
+    blocked_at = {0, len(termlist) // 2, len(termlist) - 1}
+    for inc, par in enumerate(termlist):
         if len(par) > 2:
             kernel = kernel + terms.ComplexTerm(*par)
         else:
@@ -343,12 +348,13 @@ def test_incremental_kernel_sum():
             np.testing.assert_allclose(ll, ll0, rtol=1e-8)
 
             # Same increment through the blocked block-parallel solver.
-            fn = gp.build_loglik(
-                t, y, yerr=yerr, solver="blocked", block_size=4
-            )
-            llb, okb = fn(jnp.asarray(gp.get_parameter_vector()))
-            assert bool(okb)
-            np.testing.assert_allclose(float(llb), ll0, rtol=1e-8)
+            if inc in blocked_at:
+                fn = gp.build_loglik(
+                    t, y, yerr=yerr, solver="blocked", block_size=4
+                )
+                llb, okb = fn(jnp.asarray(gp.get_parameter_vector()))
+                assert bool(okb)
+                np.testing.assert_allclose(float(llb), ll0, rtol=1e-8)
 
 
 def test_nyquist_singularity():

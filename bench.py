@@ -48,8 +48,12 @@ def main():
         # Lane-layout fused Pallas path: static (L, P, B) grid precomputed
         # host-side in f64 (ops/lanes.py), one fused kernel per eval.
         gp = GP(kernel)
+        # Primal-only measurement: B=16384 is the primal kernel's sweet
+        # spot at N=1e6, P=2 (the shared primal+grad default is 8192).
         ll = jax.jit(
-            gp.build_loglik(t, y, yerr=yerr, solver="fused", block_size=4096)
+            gp.build_loglik(
+                t, y, yerr=yerr, solver="fused", block_size=16384
+            )
         )
     else:
         tj = jnp.asarray(t, jnp.float32)

@@ -60,10 +60,11 @@ def default_num_blocks4(n, p=None):
 
     The (8, W) minor dims need W = B/8 >= 128 for full-width vector
     tiles, so B >= 1024 always.  Beyond that: enough blocks to shorten
-    the sequential depth, capped so the in-kernel prefix-scan
-    temporaries fit scoped VMEM (P-aware).
+    the sequential depth, capped P-aware (VMEM; v5e sweep at N=1e6:
+    the gradient pipeline peaks at B=8192 for P <= 4 — the primal alone
+    keeps improving to 16384 — and at 2048 for P = 8).
     """
-    cap = 4096 if (p is None or p <= 4) else 2048
+    cap = 8192 if (p is None or p <= 4) else 2048
     b = 1024
     while b * 2 * 64 <= n and b < cap:
         b *= 2

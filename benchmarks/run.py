@@ -147,6 +147,25 @@ def main():
                         )
                     ]
                     dt = timer(lambda: native.loglike(U, V, P, A, y))
+                elif backend == "fused4":
+                    # Full-tile in-kernel-lowering kernel (the default
+                    # production path; docs/architecture.md 3b).
+                    from celerite_tpu.ops import fused4, lanes4
+
+                    jr = coeffs.a_real.shape[0]
+                    jc = coeffs.a_comp.shape[0]
+                    plan = lanes4.make_plan4(
+                        t, y, diag,
+                        lanes4.default_num_blocks4(n, jr + 2 * jc),
+                        dtype=np.dtype(dtype),
+                    )
+                    cf = lanes4.pack_cf(coeffs, dtype=dtype)
+
+                    @jax.jit
+                    def ll4(cf=cf, plan=plan, jr=jr, jc=jc):
+                        return fused4.run_primal(cf, plan, jr, jc)[0]
+
+                    dt = timer(ll4, sync=jax.block_until_ready)
                 else:
                     from celerite_tpu.ops import fused
 

@@ -341,6 +341,12 @@ class GP(ModelSet):
             n_pts = int(t.shape[0])
             _p4 = _pr + 2 * _pc
             nb4 = block_size or _lanes4.default_num_blocks4(n_pts, _p4)
+            if jax.default_backend() == "tpu":
+                # The (8, W) minor dims need W >= 128 for full-width
+                # vector tiles on real hardware (half-width tiles
+                # measured ~6x slower); interpret mode has no such
+                # constraint, so tests may use tiny lane counts.
+                nb4 = max(nb4, 1024)
             plan4 = _lanes4.make_plan4(
                 t_np, np.asarray(y, np.float64),
                 np.asarray(diag, np.float64), nb4,

@@ -106,6 +106,12 @@ def sample_smc(
             lp = log_prior_fn(theta) + beta * log_like_fn(theta)
             return jnp.where(jnp.isfinite(lp), lp, -1e12)
 
+        # Scale the HMC metric to the current particle cloud: as the
+        # tempered posterior narrows (often anisotropically), unit-mass
+        # proposals lose all acceptance; the cloud variance is the
+        # standard adaptive choice.
+        inv_mass = jnp.maximum(jnp.var(particles, axis=0), 1e-10)
+
         def one(p, k):
             def body(carry, kk):
                 q, acc = carry
@@ -114,7 +120,7 @@ def sample_smc(
                     q,
                     kk,
                     step_size,
-                    jnp.ones((dim,), dtype),
+                    inv_mass,
                     num_leapfrog=num_leapfrog,
                 )
                 return (q, acc + info.accept_prob), None

@@ -369,12 +369,22 @@ def sample_smc_sharded(
                 lp = log_prior_fn(theta) + beta * log_like_fn(theta)
                 return jnp.where(jnp.isfinite(lp), lp, -1e12)
 
+            # Cloud-variance HMC metric, pooled across shards so every
+            # device mutates with the same (global) scale
+            # (inference/smc.py mutate).
+            mean_loc = jnp.mean(particles, axis=0)
+            mean_g = lax.pmean(mean_loc, CHAIN_AXIS)
+            var_g = lax.pmean(
+                jnp.mean((particles - mean_g) ** 2, axis=0), CHAIN_AXIS
+            )
+            inv_mass = jnp.maximum(var_g, 1e-10)
+
             def one(p, k):
                 def body(carry, kk):
                     q, acc = carry
                     q, info = hmc_kernel(
                         tempered, q, kk, step_size,
-                        jnp.ones((dim,), dtype),
+                        inv_mass,
                         num_leapfrog=num_leapfrog,
                     )
                     return (q, acc + info.accept_prob), None

@@ -212,3 +212,51 @@ def test_chain_folded_batch():
         np.testing.assert_allclose(
             np.asarray(gb[k]), np.asarray(g1), rtol=1e-9, atol=1e-12
         )
+
+
+def test_single_step_grid():
+    """L = 1 edge: every @pl.when branch fires in one grid step."""
+    n, b = 100, 128  # L = ceil(100/128) = 1
+    t, y, yerr = _mk_data(n, seed=5)
+    jr, jc = 0, 1
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    assert plan.t.shape[0] == 1
+    cf = _pack(jr, jc, [0.9, 0.2, 0.8, 1.7])
+
+    ll4, ok4 = fused4.run_primal(cf, plan, jr, jc, interpret=True)
+    llr, okr = _ref_ll(cf, plan, jr, jc)
+    assert bool(ok4) and bool(okr)
+    np.testing.assert_allclose(float(ll4), float(llr), rtol=1e-12)
+
+    fn = fused4.build_ll_and_grad(plan, jr, jc, interpret=True)
+    g = jax.grad(lambda c: fn(c, plan.y)[0])(cf)
+    gr = jax.grad(lambda c: _ref_ll(c, plan, jr, jc)[0])(cf)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-9)
+
+
+def test_gp_facade_fused4_vs_blocked():
+    """build_loglik solver='fused' (fused4 path) vs blocked, incl. grads
+    through the terms chain (SHO Q-branch padding) and value_ok_grad."""
+    import jax.numpy as jnp_
+    from celerite_tpu import GP, terms
+
+    rng = np.random.default_rng(9)
+    n = 512
+    t = np.sort(rng.uniform(0, 20, n))
+    yerr = np.full(n, 0.15)
+    y = np.sin(t) + 0.1 * rng.standard_normal(n)
+    kernel = terms.SHOTerm(log_S0=0.1, log_Q=0.9, log_omega0=0.4)
+    gp = GP(kernel)
+    f4 = gp.build_loglik(t, y, yerr=yerr, solver="fused", block_size=32,
+                         fast_grad=True)
+    fb = gp.build_loglik(t, y, yerr=yerr, solver="blocked")
+    theta = jnp_.asarray(kernel.get_parameter_vector())
+    ll4, ok4 = f4(theta)
+    llb, okb = fb(theta)
+    assert bool(ok4) and bool(okb)
+    np.testing.assert_allclose(float(ll4), float(llb), rtol=1e-10)
+    g4 = jax.grad(lambda th: f4(th)[0])(theta)
+    gb = jax.grad(lambda th: fb(th)[0])(theta)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(gb), rtol=1e-8)
+    ll, ok, gr = f4.value_ok_grad(theta)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gb), rtol=1e-8)

@@ -260,3 +260,14 @@ def test_gp_facade_fused4_vs_blocked():
     np.testing.assert_allclose(np.asarray(g4), np.asarray(gb), rtol=1e-8)
     ll, ok, gr = f4.value_ok_grad(theta)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(gb), rtol=1e-8)
+
+
+def test_non_pd_returns_minus_inf():
+    """Non-PSD coefficients (a c < b d) -> (-inf, False), no exception."""
+    n, b = 257, 32
+    t, y, yerr = _mk_data(n)
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    cf = _pack(0, 1, [0.9, 0.3, 0.45, 1.7], jitter=0.0)  # a c < b d
+    ll, ok = fused4.run_primal(cf, plan, 0, 1, interpret=True)
+    assert not bool(ok)
+    assert np.isneginf(float(ll))

@@ -215,10 +215,13 @@ def nuts_kernel(
                 diverging=s.diverging | diverging,
             )
 
-        def guarded(n, s):
-            return lax.cond(
-                s.turning | s.diverging, lambda _: s, lambda _: leaf_step(n, s), None
-            )
+        def _leaf_cond(c):
+            n, s = c
+            return (n < n_leaves) & ~s.turning & ~s.diverging
+
+        def _leaf_body(c):
+            n, s = c
+            return n + 1, leaf_step(n, s)
 
         zeros = jnp.zeros((md, dim), dtype)
         s0 = _S(
@@ -233,7 +236,13 @@ def nuts_kernel(
             turning=jnp.zeros((), bool),
             diverging=jnp.zeros((), bool),
         )
-        s = lax.fori_loop(0, n_leaves, guarded, s0)
+        # Early-exit leaf stream: once this subtree turns or diverges, no
+        # further leaves can change the outcome (the fori+guard form ran
+        # every slot with a no-op cond, which under vmap still executes
+        # the leapfrog for every lane).
+        _, s = lax.while_loop(
+            _leaf_cond, _leaf_body, (jnp.zeros((), jnp.int32), s0)
+        )
         return s
 
     def doubling(t: _T):

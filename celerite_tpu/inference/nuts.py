@@ -5,8 +5,9 @@ Betancourt 2017 multinomial weighting; the iterative tree construction of
 Phan & Pradhan 2019) designed for XLA: fixed ``max_tree_depth``, no
 recursion, no dynamic shapes, fully vmap-able over chains.
 
-Within a doubling, the 2^d new leapfrog states stream through a
-``fori_loop``; sub-tree U-turn checks use O(max_depth) checkpoint slots
+Within a doubling, the 2^d new leapfrog states stream through an
+early-exiting ``while_loop`` (stopping at the first U-turn or
+divergence); sub-tree U-turn checks use O(max_depth) checkpoint slots
 addressed by trailing-zero/trailing-one bit counts of the leaf index, so
 every binary sub-tree of the trajectory is checked exactly once, matching
 the recursive algorithm.
@@ -24,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts", "sample_nuts_batch"]
+__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts",
+           "sample_nuts_batch", "find_reasonable_step_size"]
 
 
 class NUTSInfo(NamedTuple):
@@ -50,6 +52,56 @@ def _leapfrog(grad_fn, q, p, grad, eps, inv_mass):
     new_grad, logp = grad_fn(q)
     p = p - 0.5 * eps * new_grad
     return q, p, new_grad, logp
+
+
+def find_reasonable_step_size(logprob_fn, q, key, inv_mass=None,
+                              initial=1.0, max_iters=30):
+    """Double/halve eps until one leapfrog's accept ratio crosses 1/2.
+
+    Hoffman & Gelman (2014) algorithm 4 — a handful of gradient
+    evaluations that prevent warmup from opening with maximum-depth
+    trees when the default step size is orders of magnitude off.
+    Jittable; honors a fused ``value_and_grad`` attribute.
+    """
+    dim = q.shape[0]
+    dtype = q.dtype
+    if inv_mass is None:
+        inv_mass = jnp.ones((dim,), dtype)
+    inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
+    vag = getattr(logprob_fn, "value_and_grad", None)
+
+    def grad_fn(x):
+        if vag is not None:
+            logp, g = vag(x)
+        else:
+            logp, g = jax.value_and_grad(logprob_fn)(x)
+        return -g, logp
+
+    grad0, logp0 = grad_fn(q)
+    p0 = jax.random.normal(key, (dim,), dtype) / jnp.sqrt(inv_mass)
+    h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+    def log_ratio(eps):
+        _, pn, _, logpn = _leapfrog(grad_fn, q, p0, grad0, eps, inv_mass)
+        h1 = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
+        r = h0 - h1
+        return jnp.where(jnp.isnan(r), -jnp.inf, r)
+
+    eps = jnp.asarray(initial, dtype)
+    direction = jnp.where(log_ratio(eps) > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(c):
+        eps, i = c
+        # while (accept ratio)^a > 2^(-a): keep moving in direction a
+        keep = direction * log_ratio(eps) > direction * jnp.log(0.5)
+        return keep & (i < max_iters)
+
+    def body(c):
+        eps, i = c
+        return eps * jnp.exp2(direction).astype(dtype), i + 1
+
+    eps, _ = jax.lax.while_loop(cond, body, (eps, jnp.zeros((), jnp.int32)))
+    return eps
 
 
 def nuts_kernel(
@@ -489,6 +541,18 @@ def sample_nuts(
 
     is_mass_window, is_window_end = window_boundaries(num_warmup)
     key, k_warm = jax.random.split(key)
+    if initial_step_size == "auto" and num_warmup > 0:
+        # Opt-in coarse step-size search before dual averaging
+        # (Hoffman & Gelman alg. 4).  Useful when the scale of the
+        # posterior is wholly unknown; measured neutral-to-negative on
+        # the well-scaled BASELINE configs (the dual-averaging anchor
+        # mu = log(10 eps0) then pulls adaptation high), so the fixed
+        # default stays.
+        key, k_eps = jax.random.split(key)
+        eps_chains = jax.jit(jax.vmap(
+            lambda q, k: find_reasonable_step_size(logprob_fn, q, k)
+        ))(init_params, jax.random.split(k_eps, n_chains))
+        initial_step_size = jnp.exp(jnp.mean(jnp.log(eps_chains)))
     carry = init_carry(init_params, initial_step_size)
     warm_keys = jax.random.split(k_warm, num_warmup)
 

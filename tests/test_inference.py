@@ -310,3 +310,48 @@ def test_sample_nuts_batch_chunked():
     assert infos["step_size"].shape == (3,)
     means = np.asarray(chains).reshape(3, -1, 2).mean(1)
     np.testing.assert_allclose(means, np.asarray(mus), atol=0.25)
+
+
+def test_find_reasonable_step_size():
+    """HG14 alg. 4: the found eps gives a one-step accept ratio near 1/2
+    (within the doubling bracket) on a unit gaussian."""
+    import jax
+    import jax.numpy as jnp
+    from celerite_tpu.inference.nuts import find_reasonable_step_size
+
+    def logprob(th):
+        return -0.5 * jnp.sum(th**2)
+
+    q = jnp.asarray([0.3, -1.2, 0.7])
+    eps = float(find_reasonable_step_size(
+        logprob, q, jax.random.PRNGKey(0)))
+    assert 1e-3 < eps < 1e3
+    # bracket property: accept(eps) <= 1/2 <= accept(eps / 2) up to the
+    # factor-of-two search resolution (or the mirrored version).
+    def accept(e):
+        from celerite_tpu.inference.nuts import _leapfrog
+        g = lambda x: (x, -0.5 * jnp.sum(x**2))
+        p0 = jax.random.normal(jax.random.PRNGKey(0), q.shape)
+        h0 = 0.5 * jnp.sum(q**2) + 0.5 * jnp.sum(p0**2)
+        qn, pn, _, _ = _leapfrog(g, q, p0, q, e, jnp.ones_like(q))
+        h1 = 0.5 * jnp.sum(qn**2) + 0.5 * jnp.sum(pn**2)
+        return float(jnp.exp(jnp.minimum(0.0, h0 - h1)))
+    a1, a2 = accept(eps), accept(eps / 2.0)
+    assert (a1 <= 0.55 <= a2 + 0.1) or (a2 <= 0.55 <= a1 + 0.1)
+
+
+def test_sample_nuts_auto_step_size():
+    import jax
+    import jax.numpy as jnp
+    from celerite_tpu.inference import sample_nuts
+
+    def logprob(th):
+        return -0.5 * jnp.sum(th**2 / jnp.asarray([1.0, 4.0]))
+
+    init = jnp.asarray([[0.1, -0.2], [0.5, 0.3]])
+    chain, info = sample_nuts(
+        logprob, init, jax.random.PRNGKey(1), num_warmup=150,
+        num_samples=150, initial_step_size="auto", max_tree_depth=6,
+    )
+    sd = np.asarray(chain).reshape(-1, 2).std(0)
+    np.testing.assert_allclose(sd, [1.0, 2.0], rtol=0.25)

@@ -29,6 +29,7 @@ __all__ = [
     "save_lcb",
     "load_lcb",
     "batched_gp_log_likelihood",
+    "make_fleet_loglik",
 ]
 
 _MAGIC = b"CTLC"
@@ -240,3 +241,72 @@ def batched_gp_log_likelihood(kernel, params, batch, dtype=None):
         return jnp.where(ok, ll, -jnp.inf), ok
 
     return jax.vmap(one)(tb, yb, eb, mb, nb)
+
+
+def make_fleet_loglik(kernel, batch: "LightCurveBatch", dtype=None,
+                      n_chain=1):
+    """Build ``theta -> (lls, oks)`` over a fleet with one kernel launch.
+
+    TPU path: fleet folding (ops/lanes4.make_plan4_curves) — every curve
+    occupies one virtual lane of the fused4 kernels, so the whole
+    batch's likelihoods (and, under ``jax.grad``, the shared-parameter
+    gradient) evaluate in a single launch with sequential depth Nmax,
+    instead of a vmapped per-curve scan.  Off TPU this falls back to
+    :func:`batched_gp_log_likelihood` (identical semantics).
+
+    ``n_chain > 1`` tiles the fleet per parameter set: the returned
+    closure then accepts ``(n_chain, dim)`` parameters and returns each
+    chain's fleet-summed (ll, ok) — the population-fit / SMC-particle
+    hot path (BASELINE configs[4]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import fused4, lanes4
+    from .ops.lower import Coefficients
+
+    if dtype is None:
+        dtype = jnp.result_type(float)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and n_chain == 1:
+        def fallback(params):
+            return batched_gp_log_likelihood(
+                kernel, params, batch, dtype=dtype
+            )
+
+        return fallback
+
+    jr, jc = kernel.padded_size
+    plan = lanes4.make_plan4_curves(
+        np.asarray(batch.t, np.float64),
+        np.asarray(batch.y, np.float64),
+        np.asarray(batch.yerr, np.float64) ** 2,
+        batch.lengths,
+        n_chain=n_chain,
+        dtype=np.dtype(dtype),
+    )
+    n_seg = n_chain if n_chain > 1 else plan.num_blocks
+    fn = fused4.build_ll_and_grad(
+        plan, jr, jc, n_chain=n_chain, n_seg=n_seg, state_seg=1,
+        interpret=not on_tpu,
+    )
+    ncur = batch.t.shape[0]
+
+    def cf_of(params):
+        coeffs = Coefficients(
+            *[c.astype(dtype)
+              for c in kernel.get_padded_coefficients(params)],
+            jitter=kernel.get_jitter(params).astype(dtype),
+        )
+        return lanes4.pack_cf(coeffs, dtype=dtype)
+
+    def loglik(params):
+        params = jnp.asarray(params, dtype)
+        if n_chain > 1:
+            cf = jax.vmap(cf_of)(params)
+            return fn(cf, plan.y)
+        lls, oks = fn(cf_of(params), plan.y)
+        return lls[:ncur], oks[:ncur]
+
+    return loglik

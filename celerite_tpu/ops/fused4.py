@@ -401,20 +401,35 @@ def _static_specs(s8, w):
     return step
 
 
-def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
+def run_primal(cf, plan: Plan4, jr, jc, y=None, n_seg=None,
+               state_seg=None, interpret=False):
     """(ll, ok) from the packed coefficient vector and a Plan4.
 
     ``cf`` is a flat ``(C,)`` vector for a single model, or an
     ``(n_chain, C)`` batch on a chain-folded plan (lanes4.make_plan4
-    with ``n_chain > 1``) — then (ll, ok) come back per chain.  ``y``
-    overrides the plan's data stream (mean-model residuals), shaped
-    (L, 8, W).  No AD rule — use :func:`build_ll_and_grad`.
+    with ``n_chain > 1``) — then (ll, ok) come back per chain.
+
+    ``n_seg`` decouples the lane segmentation from the coefficient
+    batch: with a *shared* ``(C,)`` cf and ``n_seg > 1`` the plan holds
+    n_seg independent datasets (fleet folding, one lane group per
+    light curve — lanes4.make_plan4_curves) and (ll, ok) come back per
+    segment.  A batched cf requires n_seg == n_chain.
+
+    ``y`` overrides the plan's data stream (mean-model residuals),
+    shaped (L, 8, W).  No AD rule — use :func:`build_ll_and_grad`.
     """
     L, s8, w = plan.t.shape
     p = jr + 2 * jc
     c = cf_len(jr, jc)
     nc = 1 if cf.ndim == 1 else cf.shape[0]
-    seg = (s8 * w) // nc
+    if n_seg is None:
+        n_seg = nc
+    elif nc != 1 and nc != n_seg:
+        raise ValueError("batched cf requires n_seg == n_chain")
+    seg = (s8 * w) // n_seg
+    if state_seg is None:
+        state_seg = seg
+    scalar_out = cf.ndim == 1 and n_seg == 1
     dtype = plan.t.dtype
     if y is None:
         y = plan.y
@@ -426,7 +441,7 @@ def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
                           memory_space=pltpu.VMEM)
 
     quad, ld, mind = pl.pallas_call(
-        functools.partial(_primal_kernel, jr, jc, seg),
+        functools.partial(_primal_kernel, jr, jc, state_seg),
         grid=(2, L),
         in_specs=[cfspec, step, step, step, step, step, step],
         out_specs=[full_1, full_1, full_1],
@@ -451,11 +466,11 @@ def run_primal(cf, plan: Plan4, jr, jc, y=None, interpret=False):
 
     llv = -0.5 * (
         _seg_sum(quad, seg) + _seg_sum(ld, seg)
-        + plan.n * jnp.log(2.0 * jnp.pi).astype(dtype)
+        + jnp.asarray(plan.n, dtype) * jnp.log(2.0 * jnp.pi).astype(dtype)
     )
     okv = (_seg_min(mind, seg) > 0) & jnp.isfinite(llv)
     llv = jnp.where(okv, llv, -jnp.inf)
-    if cf.ndim == 1:
+    if scalar_out:
         return llv[0], okv[0]
     return llv, okv
 
@@ -965,17 +980,21 @@ def _prefix_sh0(A, J, C, seg=None):
 
 
 @f32_matmuls
-def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype, seg=None):
+def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype, seg=None, seg_out=None):
     """Affine prefix over blocks + quadratic-form assembly -> ll.
 
-    Same flat Hillis-Steele rationale as :func:`_prefix_sh0`.  With
-    ``seg`` set, returns an ``(n_seg,)`` vector of per-chain lls.
+    Same flat Hillis-Steele rationale as :func:`_prefix_sh0`.  ``seg``
+    segments the affine *scan* (state must not cross chain/curve
+    boundaries); ``seg_out`` segments the output *reduction* (lanes per
+    returned ll).  ``seg_out=None`` returns the scalar total.
     """
     p = M.shape[0]
     s8, w = M.shape[-2], M.shape[-1]
-    scalar = seg is None
-    if scalar:
+    scalar = seg_out is None
+    if seg is None:
         seg = s8 * w
+    if seg_out is None:
+        seg_out = s8 * w
     s = 1
     while s < seg:
         lidx_m = _vl_iota((p, p, s8, w), w) % seg
@@ -995,8 +1014,8 @@ def _assemble_ll(M, m, Qm, qv, q0, ld, n, dtype, seg=None):
         + jnp.sum(h * Qh, axis=0, keepdims=True)
     )
     ll = -0.5 * (
-        _seg_sum(quad_l, seg) + _seg_sum(ld, seg)
-        + n * jnp.log(2.0 * jnp.pi).astype(dtype)
+        _seg_sum(quad_l, seg_out) + _seg_sum(ld, seg_out)
+        + jnp.asarray(n, dtype) * jnp.log(2.0 * jnp.pi).astype(dtype)
     )
     return ll[0] if scalar else ll
 
@@ -1015,7 +1034,8 @@ def build_ll(plan: Plan4, jr, jc, interpret=False):
     return fn
 
 
-def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
+def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, n_seg=None,
+                      state_seg=None, interpret=False):
     """``(cf, y4) -> (ll, ok)`` differentiable w.r.t. cf and y4.
 
     Forward: split elements/factor kernels with per-step saves (the
@@ -1028,9 +1048,21 @@ def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
     (lanes4.make_plan4 with the same ``n_chain``), ``cf`` is an
     ``(n_chain, C)`` batch, and (ll, ok) come back per chain — one
     kernel launch for the whole batch.
+
+    ``n_seg`` (default ``n_chain``) decouples the lane segmentation
+    from the coefficient batch: a fleet-folded plan
+    (lanes4.make_plan4_curves) has many independent datasets sharing
+    one ``(C,)`` coefficient vector — (ll, ok) come back per segment
+    and the coefficient cotangent sums over every segment.
     """
     _, s8, w = plan.t.shape
-    seg = (s8 * w) // n_chain
+    if n_seg is None:
+        n_seg = n_chain
+    elif n_chain != 1 and n_chain != n_seg:
+        raise ValueError("batched cf requires n_seg == n_chain")
+    seg = (s8 * w) // n_seg
+    if state_seg is None:
+        state_seg = seg
 
     @jax.custom_vjp
     def core(cf, y4):
@@ -1041,7 +1073,7 @@ def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
         A_el, J_el, C_el, sv0 = _run_elem_fwd(
             cf, plan, jr, jc, interpret=interpret
         )
-        sh0 = _prefix_sh0(A_el, J_el, C_el, seg)
+        sh0 = _prefix_sh0(A_el, J_el, C_el, state_seg)
         M, m, Qm, qv, q0, ld, mind, sv1 = _run_factor_fwd(
             cf, plan, jr, jc, y4, sh0, interpret=interpret
         )
@@ -1057,7 +1089,8 @@ def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
             interpret=interpret,
         )
         _, vjp = jax.vjp(
-            lambda a, j, c_: _prefix_sh0(a, j, c_, seg), A_el, J_el, C_el
+            lambda a, j, c_: _prefix_sh0(a, j, c_, state_seg),
+            A_el, J_el, C_el
         )
         hA0, hJ0, hC0 = vjp(hsh0)
         hcf0 = _run_elem_bwd(
@@ -1080,10 +1113,14 @@ def build_ll_and_grad(plan: Plan4, jr, jc, n_chain=1, interpret=False):
         M, m, Qm, qv, q0, ld, mind = core(cf, y4)
         ll = _assemble_ll(
             M, m, Qm, qv, q0, ld, plan.n, cf.dtype,
-            seg=None if n_chain == 1 else seg,
+            seg=state_seg,
+            seg_out=None if (n_seg == 1 and cf.ndim == 1
+                             and state_seg == s8 * w) else seg,
         )
+        scalar_out = (n_seg == 1 and cf.ndim == 1
+                      and state_seg == s8 * w)
         mind_c = (
-            jnp.min(mind) if n_chain == 1 else _seg_min(mind, seg)
+            jnp.min(mind) if scalar_out else _seg_min(mind, seg)
         )
         ok = (jax.lax.stop_gradient(mind_c) > 0) & jnp.isfinite(
             jax.lax.stop_gradient(ll)

@@ -136,6 +136,92 @@ def make_plan4(t, y, diag, num_blocks, dtype=np.float32,
     )
 
 
+def make_plan4_curves(t, y, diag, lengths, n_chain=1,
+                      dtype=np.float32) -> Plan4:
+    """Fleet folding: one virtual lane per light curve.
+
+    ``t, y, diag``: (n_curves, Lmax) padded per-curve arrays (pad tail
+    arbitrary); ``lengths``: (n_curves,) valid counts.  Each curve
+    occupies one lane (segment size 1 — no cross-lane prefix coupling),
+    so a whole fleet's likelihoods evaluate in a single kernel launch
+    with sequential depth Lmax; ragged curves are handled by the mask.
+
+    ``n_chain > 1`` additionally tiles the fleet per chain/particle
+    (lane block c*n_lanes..(c+1)*n_lanes is chain c's copy): with an
+    ``(n_chain, C)`` coefficient batch and ``n_seg = n_chain``, the
+    kernels return each chain's fleet-summed likelihood — the SMC /
+    population-fit hot path (BASELINE configs[4]).
+
+    ``Plan4.n`` holds the per-segment valid-point counts (per lane for
+    n_chain == 1, summed per chain copy otherwise).
+    """
+    t = np.asarray(t, np.float64)
+    y = np.asarray(y, np.float64)
+    diag = np.asarray(diag, np.float64)
+    lengths = np.asarray(lengths, np.int64)
+    ncur, Lmax = t.shape
+    nc = int(n_chain)
+    if nc & (nc - 1) or nc < 1:
+        raise ValueError("n_chain must be a power of two")
+
+    # Pad the lane count so n_lanes * n_chain is a multiple of 8 (full
+    # sublane tiles) — padded lanes are fully masked (0 contribution).
+    lanes = ncur
+    while (lanes * nc) % SUB:
+        lanes += 1
+    pad_l = lanes - ncur
+
+    idx = np.arange(Lmax)[None, :]
+    mask = (idx < lengths[:, None]).astype(np.float64)
+    dt = np.zeros_like(t)
+    dt[:, 1:] = np.diff(t, axis=1)
+    dt *= mask[:, :] * np.concatenate(
+        [np.zeros((ncur, 1)), mask[:, :-1]], axis=1
+    )
+
+    def padlanes(x, fill=0.0):
+        if pad_l:
+            x = np.concatenate(
+                [x, np.full((pad_l, Lmax), fill, np.float64)], axis=0
+            )
+        return np.tile(x, (nc, 1)) if nc > 1 else x
+
+    t2 = padlanes(t * mask)
+    y2 = padlanes(y * mask)
+    diag2 = padlanes(diag * mask)
+    mask2 = padlanes(mask)
+    dt2 = padlanes(dt)
+
+    t_hi = np.asarray(t2, dtype)
+    t_lo = np.asarray(t2 - np.asarray(t_hi, np.float64), dtype)
+
+    bt = lanes * nc
+    w = bt // SUB
+
+    def lane(x, dt_=dtype):
+        # (B_tot, Lmax) -> (Lmax, 8, W); lane l = r*W + c = curve row l.
+        return np.ascontiguousarray(
+            np.asarray(x, dt_).T.reshape(Lmax, SUB, w)
+        )
+
+    n_lane = np.concatenate([lengths, np.zeros(pad_l, np.int64)])
+    if nc > 1:
+        n_seg = np.full(nc, int(lengths.sum()), np.int64)
+    else:
+        n_seg = n_lane
+
+    return Plan4(
+        t=jnp.asarray(lane(t_hi)),
+        t_lo=jnp.asarray(lane(t_lo)),
+        dt=jnp.asarray(lane(dt2)),
+        diag=jnp.asarray(lane(diag2)),
+        y=jnp.asarray(lane(y2)),
+        mask=jnp.asarray(lane(mask2)),
+        n=n_seg,
+        num_blocks=bt,
+    )
+
+
 def cf_len(jr, jc):
     """Length of the packed coefficient vector for (jr, jc) term counts."""
     return 2 * jr + 4 * jc + 1

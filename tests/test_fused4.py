@@ -271,3 +271,90 @@ def test_non_pd_returns_minus_inf():
     ll, ok = fused4.run_primal(cf, plan, 0, 1, interpret=True)
     assert not bool(ok)
     assert np.isneginf(float(ll))
+
+
+def _mk_fleet(seed=21):
+    rng = np.random.default_rng(seed)
+    lengths = np.array([97, 64, 110])
+    Lmax = 128
+    t2 = np.zeros((3, Lmax)); y2 = np.zeros((3, Lmax))
+    d2 = np.zeros((3, Lmax))
+    for i, n in enumerate(lengths):
+        t2[i, :n] = np.sort(rng.uniform(0, 10.0, n))
+        y2[i, :n] = np.sin(t2[i, :n]) + 0.1 * rng.standard_normal(n)
+        d2[i, :n] = (0.1 + 0.05 * rng.random(n)) ** 2
+    return t2, y2, d2, lengths
+
+
+def test_fleet_folding_per_curve():
+    """One lane per curve == independent single-curve runs (ll + grad)."""
+    t2, y2, d2, lengths = _mk_fleet()
+    jr, jc = 0, 1
+    cf = _pack(jr, jc, [0.9, 0.2, 0.8, 1.7])
+
+    plan = lanes4.make_plan4_curves(t2, y2, d2, lengths,
+                                    dtype=np.float64)
+    nseg = plan.num_blocks
+    lls, oks = fused4.run_primal(cf, plan, jr, jc, n_seg=nseg,
+                                 state_seg=1, interpret=True)
+    fn = fused4.build_ll_and_grad(plan, jr, jc, n_seg=nseg, state_seg=1,
+                                  interpret=True)
+
+    def fsum(c):
+        ll, ok = fn(c, plan.y)
+        return jnp.sum(ll), (ll, ok)
+
+    (tot, (llg, okg)), g = jax.value_and_grad(fsum, has_aux=True)(cf)
+
+    gsum = np.zeros_like(np.asarray(cf))
+    for i, n in enumerate(lengths):
+        ti = t2[i, :n]; yi = y2[i, :n]; di = d2[i, :n]
+        p1 = lanes4.make_plan4(ti, yi, di, 8, dtype=np.float64)
+        ll1, ok1 = fused4.run_primal(cf, p1, jr, jc, interpret=True)
+        assert bool(oks[i]) and bool(ok1)
+        np.testing.assert_allclose(float(lls[i]), float(ll1), rtol=1e-11)
+        np.testing.assert_allclose(float(llg[i]), float(ll1), rtol=1e-11)
+        f1 = fused4.build_ll_and_grad(p1, jr, jc, interpret=True)
+        g1 = jax.grad(lambda c: f1(c, p1.y)[0])(cf)
+        gsum += np.asarray(g1)
+    # padded lanes contribute exactly zero
+    np.testing.assert_allclose(np.asarray(g), gsum, rtol=1e-9)
+    for k in range(len(lengths), nseg):
+        np.testing.assert_allclose(float(lls[k]), 0.0, atol=1e-12)
+
+
+def test_fleet_particle_batch():
+    """Fleet tiled per particle: per-particle fleet-summed ll + grads."""
+    t2, y2, d2, lengths = _mk_fleet(seed=22)
+    jr, jc = 0, 1
+    base = np.array([0.9, 0.2, 0.8, 1.7])
+    nc = 2
+    cfs = jnp.stack([_pack(jr, jc, base * (1 + 0.1 * k))
+                     for k in range(nc)])
+
+    planb = lanes4.make_plan4_curves(t2, y2, d2, lengths, n_chain=nc,
+                                     dtype=np.float64)
+    lanes_per = planb.num_blocks // nc
+    fnb = fused4.build_ll_and_grad(planb, jr, jc, n_chain=nc,
+                                   state_seg=1, interpret=True)
+
+    def fsum(cfs):
+        ll, ok = fnb(cfs, planb.y)
+        return jnp.sum(ll), (ll, ok)
+
+    (_, (llv, okv)), gb = jax.value_and_grad(fsum, has_aux=True)(cfs)
+
+    plan1 = lanes4.make_plan4_curves(t2, y2, d2, lengths,
+                                     dtype=np.float64)
+    f1 = fused4.build_ll_and_grad(plan1, jr, jc,
+                                  n_seg=plan1.num_blocks, state_seg=1,
+                                  interpret=True)
+    for k in range(nc):
+        def tot1(c):
+            ll, ok = f1(c, plan1.y)
+            return jnp.sum(ll)
+        np.testing.assert_allclose(float(llv[k]), float(tot1(cfs[k])),
+                                   rtol=1e-11)
+        g1 = jax.grad(tot1)(cfs[k])
+        np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(g1),
+                                   rtol=1e-9)

@@ -154,6 +154,12 @@ def main():
 
                     jr = coeffs.a_real.shape[0]
                     jc = coeffs.a_comp.shape[0]
+                    if jr + 2 * jc > 12:
+                        # Mosaic compiles of the unrolled (P, P) algebra
+                        # pass 20 min beyond P = 12; the facade routes
+                        # such models to the 3-D pipeline ("pallas").
+                        print(f"  [skip fused4: P={jr + 2 * jc} > 12]")
+                        continue
                     plan = lanes4.make_plan4(
                         t, y, diag,
                         lanes4.default_num_blocks4(n, jr + 2 * jc),

@@ -331,10 +331,13 @@ class GP(ModelSet):
         )
         # Full-tile path (ops/fused4.py): in-kernel lowering + flat
         # cross-block prefixes; primal and reverse-mode gradient in a
-        # handful of ms at N=1e6.  Models up to padded width 8 (the
-        # in-kernel prefix scan's VMEM budget); wider models use the
-        # 3-D pipeline below.
-        if use_lanes and (_pr + 2 * _pc) <= 8 and fast_grad != "tangent":
+        # handful of ms at N=1e6.  Models up to padded width 12 (e.g.
+        # three SHO terms; needs the raised Mosaic VMEM limit and a
+        # minutes-scale one-time compile at P > 8 — measured 5.6 ms
+        # primal / 13.3 ms value+grad at N=1e6, P=12 vs ~32 ms through
+        # the 3-D pipeline).  P = 16 compiles are impractically slow
+        # (>20 min); wider models use the 3-D pipeline below.
+        if use_lanes and (_pr + 2 * _pc) <= 12 and fast_grad != "tangent":
             from .ops import fused4 as _f4
             from .ops import lanes4 as _lanes4
 
@@ -425,18 +428,26 @@ class GP(ModelSet):
             # Chain-folding: under jax.vmap (sampler chains), fold the
             # batch axis onto the kernel's virtual-lane axis instead of
             # serializing pallas launches — one kernel evaluates every
-            # chain.  Requires kernel-only active parameters (per-chain
-            # mean values would need per-chain data streams).
-            _foldable = on_tpu and (len(idx) == 0 or int(idx.max()) < nk)
+            # chain.  Active mean parameters fold too: each chain's
+            # residual is laid out as its own lane stream at trace time
+            # (lanes4.fold_lanes) and the kernels differentiate w.r.t.
+            # the data stream, so mean-parameter gradients flow through
+            # the folded launch like everything else.
+            _foldable = on_tpu
+            _mean_active = len(idx) > 0 and int(idx.max()) >= nk
             _mp_fixed = fixed[nk:]
             # Host-side residual for the folded plans, computed OUTSIDE
             # any trace: the rule below runs at trace time, and caching
             # a traced array there would leak a tracer into another
-            # trace's jaxpr constants.
+            # trace's jaxpr constants.  With active mean parameters the
+            # plan keeps the raw data; the (per-chain) mean comes off
+            # in-trace.
             if _foldable:
-                _y4_np = np.asarray(y, np.float64) - np.asarray(
-                    mean_fn(_mp_fixed, t), np.float64
-                )
+                _y4_np = np.asarray(y, np.float64)
+                if not _mean_active:
+                    _y4_np = _y4_np - np.asarray(
+                        mean_fn(_mp_fixed, t), np.float64
+                    )
             _folded_cache = {}
 
             def _cf_of_kernel(th):
@@ -453,8 +464,15 @@ class GP(ModelSet):
             def _get_folded(nc):
                 if nc not in _folded_cache:
                     # Lane budget measured on v5e: wider than 2048 total
-                    # lanes hurts at P=8 (save-stream VMEM pressure).
-                    cap = 4096 if _p4 <= 4 else 2048
+                    # lanes hurts at P=8 (save-stream VMEM pressure);
+                    # wide P <= 12 models cap at 1024 like the unbatched
+                    # path.
+                    if _p4 <= 4:
+                        cap = 4096
+                    elif _p4 <= 8:
+                        cap = 2048
+                    else:
+                        cap = 1024
                     bc = max(8, cap // nc)
                     while bc > 8 and bc > 2 * n_pts:
                         bc //= 2
@@ -496,7 +514,19 @@ class GP(ModelSet):
 
                 def f(th):
                     cfs = jax.vmap(_cf_of_kernel)(th)
-                    ll, ok = fnb(cfs, planb.y)
+                    if _mean_active:
+                        def mean_of(th_c):
+                            full = fixed.at[idx].set(th_c)
+                            return mean_fn(full[nk:], t)
+
+                        mvals = jax.vmap(mean_of)(th)  # (nc, n)
+                        y4 = planb.y - planb.mask * _lanes4.fold_lanes(
+                            mvals, planb.num_blocks // nc,
+                            planb.t.shape[0], dtype=planb.t.dtype,
+                        )
+                    else:
+                        y4 = planb.y
+                    ll, ok = fnb(cfs, y4)
                     return jnp.sum(ll), (ll, ok)
 
                 (_, (ll, ok)), grads = jax.value_and_grad(

@@ -401,6 +401,19 @@ def _elements_op(u, v, ph, a):
     return tuple(_run_elements(u, v, ph, a, interpret))
 
 
+def _cparams(p):
+    """Mosaic params: raise the scoped-VMEM limit for wide models.
+
+    The default 16 MB scoped limit fits P <= 8 at every default lane
+    count; at P = 12 the reversed-stream backward kernels peak at
+    ~18-25 MB of stack (measured: 18.4 MB at B = 2048) on a 128 MB-VMEM
+    v5e core.
+    """
+    if p <= 8:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
 def _elements_fwd(u, v, ph, a):
     L, p, b = u.shape
     dtype = u.dtype
@@ -420,6 +433,7 @@ def _elements_fwd(u, v, ph, a):
             jax.ShapeDtypeStruct((L, p, p, b), dtype),
             jax.ShapeDtypeStruct((L, p, p, b), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(u, v, ph, a)
     return (A, J, C), (u, v, ph, a, Shin_sv, Ain_sv)
@@ -446,6 +460,7 @@ def _elements_bwd(res, cots):
             jax.ShapeDtypeStruct((L, 1, b), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((p, p, b), dtype)] * 3,
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(u, v, ph, a, Shin_sv, Ain_sv, hA0, hJ0, hC0)
     return hu, hv, hph, ha
@@ -491,6 +506,7 @@ def _factor_fwd(sh0, u, v, ph, a, y):
             pltpu.VMEM((1, b), dtype),
             pltpu.VMEM((1, b), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(sh0, u, v, ph, a, y)
     M, m, Qm, qv, q0, ld, mind = outs[:7]
@@ -526,6 +542,7 @@ def _factor_bwd(res, cots):
             pltpu.VMEM((p, p, b), dtype),
             pltpu.VMEM((p, b), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(u, v, ph, a, y, Shin_sv, Mprev_sv, mprev_sv,
       hM0, hm0, hQm, hqv, hq0, hld)

@@ -401,6 +401,21 @@ def _static_specs(s8, w):
     return step
 
 
+def _cparams(p):
+    """Mosaic compiler params: raise the scoped-VMEM limit for wide models.
+
+    The default 16 MB scoped limit fits every P <= 8 kernel; at wider P
+    the unrolled (P, P, 8, W) temporaries (prefix composition, the
+    Gauss-Jordan inverse's augmented arrays) exceed it on a 128 MB-VMEM
+    v5e core.  The practical width ceiling is P = 12 (one-time compile
+    ~3 min at N=1e6; P = 16 compiles are >20 min in Mosaic and are
+    routed to the 3-D pipeline instead, celerite_tpu/gp.py).
+    """
+    if p <= 8:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
 def run_primal(cf, plan: Plan4, jr, jc, y=None, n_seg=None,
                state_seg=None, interpret=False):
     """(ll, ok) from the packed coefficient vector and a Plan4.
@@ -460,6 +475,7 @@ def run_primal(cf, plan: Plan4, jr, jc, y=None, n_seg=None,
             pltpu.VMEM((1, s8, w), dtype),     # cld
             pltpu.VMEM((1, s8, w), dtype),     # mind
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag,
       plan.mask, y)
@@ -827,6 +843,7 @@ def _run_elem_fwd(cf, plan, jr, jc, interpret=False):
             jax.ShapeDtypeStruct((p, p, s8, w), dtype),
             jax.ShapeDtypeStruct((L, 2 * p * p, s8, w), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask)
 
@@ -854,6 +871,7 @@ def _run_elem_bwd(cf, plan, jr, jc, sv, hA0, hJ0, hC0, interpret=False):
         out_specs=full_c,
         out_shape=jax.ShapeDtypeStruct((c, s8, w), dtype),
         scratch_shapes=[pltpu.VMEM((p, p, s8, w), dtype)] * 3,
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask,
       sv, hA0, hJ0, hC0)
@@ -896,6 +914,7 @@ def _run_factor_fwd(cf, plan, jr, jc, y, sh0, interpret=False):
             pltpu.VMEM((1, s8, w), dtype),
             pltpu.VMEM((1, s8, w), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y, sh0)
 
@@ -938,6 +957,7 @@ def _run_factor_bwd(cf, plan, jr, jc, y, sv, cots, interpret=False):
             pltpu.VMEM((p, p, s8, w), dtype),
             pltpu.VMEM((p, s8, w), dtype),
         ],
+        compiler_params=_cparams(p),
         interpret=interpret,
     )(_planes(cf, s8, w), plan.t, plan.t_lo, plan.dt, plan.diag, plan.mask, y,
       sv, hM0, hm0, hQm, hqv, hq0, hld)

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from .lower import Coefficients
 
-__all__ = ["Plan4", "make_plan4", "pack_cf", "cf_len", "default_num_blocks4"]
+__all__ = ["Plan4", "make_plan4", "pack_cf", "cf_len", "default_num_blocks4",
+           "fold_lanes"]
 
 SUB = 8  # sublane count of an f32 tile
 
@@ -62,9 +63,16 @@ def default_num_blocks4(n, p=None):
     tiles, so B >= 1024 always.  Beyond that: enough blocks to shorten
     the sequential depth, capped P-aware (VMEM; v5e sweep at N=1e6:
     the gradient pipeline peaks at B=8192 for P <= 4 — the primal alone
-    keeps improving to 16384 — and at 2048 for P = 8).
+    keeps improving to 16384 — at 2048 for P = 8, and at 1024 for the
+    wide P <= 12 models, whose unrolled (P, P) temporaries need the
+    raised Mosaic VMEM limit, ops/fused4._cparams).
     """
-    cap = 8192 if (p is None or p <= 4) else 2048
+    if p is None or p <= 4:
+        cap = 8192
+    elif p <= 8:
+        cap = 2048
+    else:
+        cap = 1024
     b = 1024
     while b * 2 * 64 <= n and b < cap:
         b *= 2
@@ -134,6 +142,26 @@ def make_plan4(t, y, diag, num_blocks, dtype=np.float32,
         n=n,
         num_blocks=bt,
     )
+
+
+def fold_lanes(x, num_blocks, L, dtype=None):
+    """Traced ``(n_chain, n)`` batch -> chain-folded ``(L, 8, W)`` lanes.
+
+    The jnp counterpart of the host-side ``_lane4`` tiling used by
+    ``make_plan4(..., n_chain=nc)``: chain ``c`` occupies virtual lanes
+    ``[c*num_blocks, (c+1)*num_blocks)`` and the pad tail is zero-filled.
+    Used to stream *per-chain* data (e.g. residuals under per-chain mean
+    models) into a chain-folded kernel launch, so batched fits with
+    active mean parameters still fold onto lanes instead of serializing.
+    """
+    nc, n = x.shape
+    b = int(num_blocks)
+    pad = b * L - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    w = nc * b // SUB
+    out = x.reshape(SUB, w, L).transpose(2, 0, 1)
+    return out.astype(dtype) if dtype is not None else out
 
 
 def make_plan4_curves(t, y, diag, lengths, n_chain=1,

@@ -132,6 +132,43 @@ def test_grad_matches_reference(jr, jc, mk):
     )
 
 
+def test_wide_p12_primal_and_grad():
+    """P = 12 (three padded SHO terms): the widest fused4-gated model.
+
+    On hardware this width needs the raised Mosaic VMEM limit
+    (fused4._cparams); in interpret mode it checks the unrolled (P, P)
+    algebra — prefix composition, Gauss-Jordan inverse — at a width the
+    parametrized CASES (P <= 4) never reach.
+    """
+    n, b = 129, 16
+    jr, jc = 6, 3
+    t, y, yerr = _mk_data(n, seed=23)
+    plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    rng = np.random.default_rng(5)
+    a_real = 0.2 + rng.random(jr)
+    c_real = 0.5 + rng.random(jr)
+    a_comp = 0.3 + rng.random(jc)
+    c_comp = 0.8 + rng.random(jc)
+    d_comp = 0.5 + 2.0 * rng.random(jc)
+    # keep a*c > b*d (PSD)
+    b_comp = 0.5 * a_comp * c_comp / d_comp
+    cf = _pack(jr, jc, np.concatenate(
+        [a_real, c_real, a_comp, b_comp, c_comp, d_comp]
+    ))
+
+    ll4, ok4 = fused4.run_primal(cf, plan, jr, jc, interpret=True)
+    llr, okr = _ref_ll(cf, plan, jr, jc)
+    assert bool(ok4) and bool(okr)
+    np.testing.assert_allclose(float(ll4), float(llr), rtol=1e-11)
+
+    fn = fused4.build_ll_and_grad(plan, jr, jc, interpret=True)
+    g4 = jax.grad(lambda c: fn(c, plan.y)[0])(cf)
+    gr = jax.grad(lambda c: _ref_ll(c, plan, jr, jc)[0])(cf)
+    np.testing.assert_allclose(
+        np.asarray(g4), np.asarray(gr), rtol=1e-8, atol=1e-11
+    )
+
+
 def test_grad_finite_difference():
     n, b = 193, 32
     jr, jc = 0, 1
@@ -212,6 +249,68 @@ def test_chain_folded_batch():
         np.testing.assert_allclose(
             np.asarray(gb[k]), np.asarray(g1), rtol=1e-9, atol=1e-12
         )
+
+
+def test_fold_lanes_layout():
+    """Traced fold_lanes == the host tiling of make_plan4(n_chain=nc)."""
+    n, b, nc = 193, 32, 4
+    t, y, yerr = _mk_data(n, seed=13)
+    planb = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64,
+                              n_chain=nc)
+    L = planb.t.shape[0]
+    folded = lanes4.fold_lanes(
+        jnp.broadcast_to(jnp.asarray(y), (nc, n)), b, L,
+        dtype=planb.y.dtype,
+    )
+    np.testing.assert_array_equal(np.asarray(folded), np.asarray(planb.y))
+
+
+def test_chain_folded_mean_residuals():
+    """Per-chain residual streams (active mean models) through the fold.
+
+    Each chain subtracts its own constant mean; the folded launch must
+    match per-chain single runs on host-subtracted data, and the
+    gradient w.r.t. the per-chain mean values must flow through the
+    folded data stream.
+    """
+    n, b, nc = 193, 32, 4
+    t, y, yerr = _mk_data(n, seed=17)
+    jr, jc = 0, 1
+    cf = _pack(jr, jc, [0.9, 0.2, 0.8, 1.7])
+    cfs = jnp.stack([cf] * nc)
+    means = jnp.asarray([0.0, 0.1, -0.2, 0.35])
+
+    planb = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64,
+                              n_chain=nc)
+    plan1 = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
+    L = planb.t.shape[0]
+    fnb = fused4.build_ll_and_grad(planb, jr, jc, n_chain=nc,
+                                   interpret=True)
+    fn1 = fused4.build_ll_and_grad(plan1, jr, jc, interpret=True)
+
+    def folded_ll(mu):
+        mvals = jnp.broadcast_to(mu[:, None], (nc, n))
+        y4 = planb.y - planb.mask * lanes4.fold_lanes(
+            mvals, b, L, dtype=planb.y.dtype
+        )
+        ll, _ = fnb(cfs, y4)
+        return jnp.sum(ll), ll
+
+    (_, llv), gmu = jax.value_and_grad(folded_ll, has_aux=True)(means)
+    for k in range(nc):
+        y1 = plan1.y - plan1.mask * lanes4.fold_lanes(
+            jnp.full((1, n), means[k]), b, L, dtype=plan1.y.dtype
+        )
+        ll1, _ = fn1(cf, y1)
+        np.testing.assert_allclose(float(llv[k]), float(ll1), rtol=1e-12)
+        # FD check of the mean-value gradient through the folded stream
+        eps = 1e-6
+        llp, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
+            jnp.full((1, n), means[k] + eps), b, L, dtype=plan1.y.dtype))
+        llm, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
+            jnp.full((1, n), means[k] - eps), b, L, dtype=plan1.y.dtype))
+        fd = (float(llp) - float(llm)) / (2 * eps)
+        np.testing.assert_allclose(float(gmu[k]), fd, rtol=1e-5)
 
 
 def test_single_step_grid():

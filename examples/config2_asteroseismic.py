@@ -24,17 +24,25 @@ from celerite_tpu.inference import sample_nuts, summary
 
 
 def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
-         chunk_size=None, solver="blocked", fast_grad=False):
+         chunk_size=None, solver="auto", fast_grad=True, modes=1):
     rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 100.0, n))
     yerr = np.full(n, 0.3)
 
+    # ``modes`` oscillation SHOTerms on top of the granulation
+    # background; modes=2 gives the padded-width-12 model exercising
+    # the fused4 wide gate (the reference Ex.4 uses several modes at
+    # J=8, paper/ms.tex:1626).
     kernel_true = (
         terms.SHOTerm(log_S0=0.5, log_Q=np.log(1 / np.sqrt(2)),
                       log_omega0=0.0)       # granulation
         + terms.SHOTerm(log_S0=-1.0, log_Q=2.5, log_omega0=1.8)  # osc.
         + terms.JitterTerm(log_sigma=-1.5)
     )
+    for k in range(1, modes):
+        kernel_true = kernel_true + terms.SHOTerm(
+            log_S0=-1.0 - 0.3 * k, log_Q=2.5, log_omega0=1.8 + 0.25 * k
+        )
     # Simulate host-side in f64 through the Gauss-Markov realization —
     # exact at any N, independent of the accelerator's f32 margins.
     from celerite_tpu.ops.lower import Coefficients
@@ -55,6 +63,10 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
         + terms.SHOTerm(log_S0=-0.7, log_Q=2.0, log_omega0=1.6)
         + terms.JitterTerm(log_sigma=-1.0)
     )
+    for k in range(1, modes):
+        kernel = kernel + terms.SHOTerm(
+            log_S0=-0.8 - 0.3 * k, log_Q=2.0, log_omega0=1.7 + 0.25 * k
+        )
     gp = GP(kernel)
 
     logprob = gp.build_logprob(
@@ -104,9 +116,13 @@ if __name__ == "__main__":
     # On runtimes that bound single-launch wall-clock (the axon tunnel),
     # chunk the sampler into <=chunk-transition launches.
     ap.add_argument("--chunk", type=int, default=None)
-    ap.add_argument("--solver", default="blocked")
-    ap.add_argument("--fast-grad", action="store_true")
+    ap.add_argument("--solver", default="auto")
+    ap.add_argument("--fast-grad", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--modes", type=int, default=1,
+                    help="oscillation SHOTerms (2 -> padded width 12)")
     args = ap.parse_args()
     main(n=args.n, chains=args.chains, warmup=args.warmup,
          samples=args.samples, chunk_size=args.chunk,
-         solver=args.solver, fast_grad=args.fast_grad)
+         solver=args.solver, fast_grad=args.fast_grad,
+         modes=args.modes)

@@ -140,7 +140,7 @@ def test_wide_p12_primal_and_grad():
     algebra — prefix composition, Gauss-Jordan inverse — at a width the
     parametrized CASES (P <= 4) never reach.
     """
-    n, b = 129, 16
+    n, b = 65, 16
     jr, jc = 6, 3
     t, y, yerr = _mk_data(n, seed=23)
     plan = lanes4.make_plan4(t, y, yerr**2, b, dtype=np.float64)
@@ -303,14 +303,18 @@ def test_chain_folded_mean_residuals():
         )
         ll1, _ = fn1(cf, y1)
         np.testing.assert_allclose(float(llv[k]), float(ll1), rtol=1e-12)
-        # FD check of the mean-value gradient through the folded stream
-        eps = 1e-6
-        llp, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
-            jnp.full((1, n), means[k] + eps), b, L, dtype=plan1.y.dtype))
-        llm, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
-            jnp.full((1, n), means[k] - eps), b, L, dtype=plan1.y.dtype))
-        fd = (float(llp) - float(llm)) / (2 * eps)
-        np.testing.assert_allclose(float(gmu[k]), fd, rtol=1e-5)
+        if k == 1:
+            # FD check of the mean-value gradient through the folded
+            # stream (one representative chain keeps the test cheap).
+            eps = 1e-6
+            llp, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
+                jnp.full((1, n), means[k] + eps), b, L,
+                dtype=plan1.y.dtype))
+            llm, _ = fn1(cf, plan1.y - plan1.mask * lanes4.fold_lanes(
+                jnp.full((1, n), means[k] - eps), b, L,
+                dtype=plan1.y.dtype))
+            fd = (float(llp) - float(llm)) / (2 * eps)
+            np.testing.assert_allclose(float(gmu[k]), fd, rtol=1e-5)
 
 
 def test_single_step_grid():

@@ -859,6 +859,41 @@ class GP(ModelSet):
         self._recompute()
         resid = y - self.mean.get_value(self._t)
 
+        if return_var and not len(self._A):
+            # O((N+M) p^2) Kalman/RTS smoother replaces the reference's
+            # dense O(N M) variance build (celerite.py:460-469) whenever
+            # the kernel admits a Gauss-Markov realization
+            # (ops/smoother.py); it yields the conditional MEAN too, so
+            # the O(N)-sequential lag-state scan is skipped entirely.
+            from .ops.lower import Coefficients as _C
+            from .ops import smoother as _sm
+
+            coeffs = _C(
+                *[jnp.asarray(c) for c in self.kernel.coefficients],
+                jitter=jnp.asarray(self.kernel.jitter),
+            )
+            if _sm.realize(coeffs) is not None:
+                # Large merged grids on TPU use the temporal-parallel
+                # (associative-scan) smoother: the sequential lax.scan
+                # pays ~1 us launch latency per step (seconds at 1e6);
+                # the parallel one is log-depth wide batched ops
+                # (18.6 s -> 0.11 s at N = 1e6 on one v5e chip).
+                if (
+                    jax.default_backend() == "tpu"
+                    and len(self._t) + len(xs) >= 16384
+                ):
+                    from .ops import pkalman as _pk
+
+                    mu_sm, var = _pk.predict_var_parallel(
+                        coeffs, self._t, self._yerr**2, resid, xs
+                    )
+                else:
+                    mu_sm, var = _sm.predict_var(
+                        coeffs, self._t, self._yerr**2, resid, xs
+                    )
+                mu = self.mean.get_value(xs) + mu_sm
+                return mu, var
+
         if t is None:
             alpha = np.asarray(self.solver.solve(resid)).reshape(-1)
             alpha = resid - (self._yerr**2 + self.kernel.jitter) * alpha
@@ -873,23 +908,6 @@ class GP(ModelSet):
         mu = self.mean.get_value(xs) + np.asarray(alpha)
         if not (return_var or return_cov):
             return mu
-
-        if return_var and not len(self._A):
-            # O((N+M) p^2) Kalman/RTS variance replaces the reference's
-            # dense O(N M) build (celerite.py:460-469) whenever the
-            # kernel admits a Gauss-Markov realization (ops/smoother.py).
-            from .ops.lower import Coefficients as _C
-            from .ops import smoother as _sm
-
-            coeffs = _C(
-                *[jnp.asarray(c) for c in self.kernel.coefficients],
-                jitter=jnp.asarray(self.kernel.jitter),
-            )
-            if _sm.realize(coeffs) is not None:
-                _, var = _sm.predict_var(
-                    coeffs, self._t, self._yerr**2, resid, xs
-                )
-                return mu, var
 
         Kxs = self.get_matrix(xs, self._t)
         KxsT = np.ascontiguousarray(Kxs.T, dtype=np.float64)

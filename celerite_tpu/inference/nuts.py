@@ -379,6 +379,7 @@ def _build_segments(
     max_tree_depth,
     target_accept,
     axis_name=None,
+    warmup_max_tree_depth=None,
 ):
     """Jittable warmup/sample segment builders parameterized by data.
 
@@ -386,6 +387,12 @@ def _build_segments(
     every returned function takes ``data`` explicitly so the same segment
     can be vmapped over a batch of problems (see sample_nuts_batch) or
     closed over ``data=None`` for a single problem.
+
+    ``warmup_max_tree_depth`` (static) caps the tree depth during warmup
+    only: early warmup runs with a badly-tuned step size, and an
+    uncapped transition there pads every vmapped chain to the deepest
+    tree (2^max_tree_depth gradient slots).  Sampling transitions always
+    use the full ``max_tree_depth``.
     """
     from .adaptation import (
         da_init,
@@ -396,7 +403,11 @@ def _build_segments(
         welford_variance,
     )
 
-    def vkernel(data, qs, keys, eps, im):
+    if warmup_max_tree_depth is None:
+        warmup_max_tree_depth = max_tree_depth
+    warmup_max_tree_depth = min(warmup_max_tree_depth, max_tree_depth)
+
+    def vkernel(data, qs, keys, eps, im, depth=max_tree_depth):
         lp = lambda th: logprob_data_fn(data, th)
         # Propagate the fused value+gradient entry point through the
         # data-binding wrapper — it is how the hand-written gradient
@@ -406,7 +417,7 @@ def _build_segments(
         if _vag is not None:
             lp.value_and_grad = lambda th: _vag(data, th)
         kernel = lambda q, k: nuts_kernel(
-            lp, q, k, eps, im, max_tree_depth=max_tree_depth,
+            lp, q, k, eps, im, max_tree_depth=depth,
         )
         return jax.vmap(kernel)(qs, keys)
 
@@ -426,7 +437,10 @@ def _build_segments(
         qs, da, wf, inv_mass = carry
         key, mass_win, win_end = inp
         keys = jax.random.split(key, n_chains)
-        qs, info = vkernel(data, qs, keys, jnp.exp(da.log_step), inv_mass)
+        qs, info = vkernel(
+            data, qs, keys, jnp.exp(da.log_step), inv_mass,
+            depth=warmup_max_tree_depth,
+        )
         # Cross-chain pooled accept statistic drives one shared step size.
         da = da_update(da, pooled_mean(info.accept_prob))
         wf = jax.lax.cond(
@@ -494,6 +508,7 @@ def sample_nuts(
     thin=1,
     axis_name=None,
     chunk_size=None,
+    warmup_max_tree_depth=None,
 ):
     """Vmapped multi-chain NUTS with cross-chain window adaptation.
 
@@ -514,6 +529,13 @@ def sample_nuts(
     segments of at most this many transitions per device launch — use on
     runtimes that bound single-execution wall-clock, or to interleave
     checkpointing.  Results are identical to the single-launch path.
+
+    ``warmup_max_tree_depth``: optional smaller tree-depth cap applied to
+    warmup transitions only (sampling always uses ``max_tree_depth``).
+    Under vmap every chain pads to the per-launch deepest tree, so a
+    single chain opening max-depth trees while the step size is still
+    miscalibrated stalls the whole batch; capping warmup at 6-8 bounds
+    that cost with no effect on the post-warmup kernel.
     """
     from .adaptation import da_final, window_boundaries
 
@@ -530,6 +552,7 @@ def sample_nuts(
             _lpd,
             n_chains, dim, dtype, max_tree_depth, target_accept,
             axis_name,
+            warmup_max_tree_depth=warmup_max_tree_depth,
         )
     )
     warmup_segment = lambda carry, keys, mf, ef: warm_seg_fn(
@@ -631,6 +654,7 @@ def sample_nuts_batch(
     initial_step_size=0.1,
     thin=1,
     chunk_size=None,
+    warmup_max_tree_depth=None,
 ):
     """Independent NUTS fits for a batch of problems, fully vectorized.
 
@@ -670,12 +694,14 @@ def sample_nuts_batch(
                 max_tree_depth=max_tree_depth,
                 target_accept=target_accept,
                 initial_step_size=initial_step_size, thin=thin,
+                warmup_max_tree_depth=warmup_max_tree_depth,
             )
 
         return jax.vmap(one)(data_batch, init_params, keys)
 
     init_carry, warm_seg, samp_seg, _, _ = _build_segments(
-        logprob_fn, n_chains, dim, dtype, max_tree_depth, target_accept
+        logprob_fn, n_chains, dim, dtype, max_tree_depth, target_accept,
+        warmup_max_tree_depth=warmup_max_tree_depth,
     )
     vwarm = jax.jit(jax.vmap(warm_seg, in_axes=(0, 0, 0, None, None)))
     vsamp = jax.jit(jax.vmap(samp_seg, in_axes=(0, 0, 0, 0, 0)))

@@ -355,3 +355,26 @@ def test_sample_nuts_auto_step_size():
     )
     sd = np.asarray(chain).reshape(-1, 2).std(0)
     np.testing.assert_allclose(sd, [1.0, 2.0], rtol=0.25)
+
+
+def test_nuts_warmup_depth_cap():
+    # Capping tree depth during warmup must leave sampling statistically
+    # sound: moments still recover and post-warmup transitions use the
+    # full depth.
+    init = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 2))
+    )
+    chain, info = sample_nuts(
+        gauss_logprob,
+        init,
+        jax.random.PRNGKey(7),
+        num_warmup=400,
+        num_samples=600,
+        max_tree_depth=10,
+        warmup_max_tree_depth=5,
+    )
+    s = np.asarray(chain).reshape(-1, 2)
+    se = np.sqrt(np.diag(COV) / (len(s) / 10))
+    np.testing.assert_allclose(s.mean(0), MU, atol=float(4 * se.max()))
+    assert float(info["divergences"]) == 0
+    assert 0.6 < float(info["accept_prob"]) < 0.99

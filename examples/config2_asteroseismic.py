@@ -24,7 +24,8 @@ from celerite_tpu.inference import sample_nuts, summary
 
 
 def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
-         chunk_size=None, solver="auto", fast_grad=True, modes=1):
+         chunk_size=None, solver="auto", fast_grad=True, modes=1,
+         warmup_depth=6):
     rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 100.0, n))
     yerr = np.full(n, 0.3)
@@ -85,7 +86,7 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
     chain, info = sample_nuts(
         logprob, init, jax.random.PRNGKey(seed),
         num_warmup=warmup, num_samples=samples, max_tree_depth=8,
-        chunk_size=chunk_size,
+        chunk_size=chunk_size, warmup_max_tree_depth=warmup_depth,
     )
     dt = time.perf_counter() - t0
     total = chains * samples
@@ -121,8 +122,10 @@ if __name__ == "__main__":
                     default=True)
     ap.add_argument("--modes", type=int, default=1,
                     help="oscillation SHOTerms (2 -> padded width 12)")
+    ap.add_argument("--warmup-depth", type=int, default=6,
+                    help="warmup-only tree-depth cap (sampling uses 8)")
     args = ap.parse_args()
     main(n=args.n, chains=args.chains, warmup=args.warmup,
          samples=args.samples, chunk_size=args.chunk,
          solver=args.solver, fast_grad=args.fast_grad,
-         modes=args.modes)
+         modes=args.modes, warmup_depth=args.warmup_depth)

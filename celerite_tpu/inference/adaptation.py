@@ -38,13 +38,24 @@ class DualAveragingState(NamedTuple):
     target: jnp.ndarray
 
 
-def da_init(step_size, target=0.8, t0=10.0, gamma=0.05, kappa=0.75):
+def da_init(step_size, target=0.8, t0=10.0, gamma=0.05, kappa=0.75,
+            mu=None):
+    """Initial dual-averaging state.
+
+    ``mu`` anchors the shrinkage point; the default log(10*step) is
+    Stan's upward bias, appropriate when ``step_size`` is a blind guess.
+    When the step size comes from an explicit search
+    (find_reasonable_step_size) pass ``mu=jnp.log(step_size)`` so the
+    calibrated value is not immediately pulled 10x high.
+    """
     step_size = jnp.asarray(step_size)
+    if mu is None:
+        mu = jnp.log(10.0 * step_size)
     return DualAveragingState(
         log_step=jnp.log(step_size),
         log_step_avg=jnp.log(step_size),
         h_sum=jnp.zeros_like(step_size),
-        mu=jnp.log(10.0 * step_size),
+        mu=jnp.asarray(mu, step_size.dtype),
         count=jnp.zeros((), jnp.int32),
         target=jnp.asarray(target, step_size.dtype),
     )

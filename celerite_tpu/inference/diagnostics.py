@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_rhat", "effective_sample_size", "summary"]
+__all__ = ["split_rhat", "effective_sample_size", "summary", "ebfmi"]
 
 
 def _split(chains):
@@ -73,6 +73,21 @@ def effective_sample_size(chains):
         tau = 1.0 + 2.0 * total
         ess[j] = c * s / max(tau, 1e-12)
     return ess
+
+
+def ebfmi(energy):
+    """Energy Bayesian fraction of missing information, per chain.
+
+    ``energy``: (n_chains, n_samples) Hamiltonian series from
+    ``sample_nuts``'s ``info["energy"]``.  E-BFMI_c = mean squared
+    successive difference / variance of the energy series (Betancourt
+    2016).  Values below ~0.3 indicate the momentum resampling cannot
+    explore the energy marginal — typically heavy tails.
+    """
+    e = np.atleast_2d(np.asarray(energy, dtype=float))
+    num = np.mean(np.diff(e, axis=1) ** 2, axis=1)
+    den = np.var(e, axis=1)
+    return num / np.maximum(den, 1e-300)
 
 
 def summary(chains, names=None):

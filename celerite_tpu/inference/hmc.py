@@ -20,7 +20,8 @@ __all__ = ["HMCInfo", "hmc_kernel"]
 class HMCInfo(NamedTuple):
     accept_prob: jnp.ndarray
     accepted: jnp.ndarray
-    energy: jnp.ndarray
+    energy: jnp.ndarray  # Hamiltonian H = -logp + kinetic at the new state
+    logp: jnp.ndarray  # log probability at the new state
 
 
 def hmc_kernel(
@@ -72,5 +73,6 @@ def hmc_kernel(
     return q_new, HMCInfo(
         accept_prob=jnp.exp(log_accept),
         accepted=accept,
-        energy=jnp.where(accept, logpn, logp0),
+        energy=jnp.where(accept, h1, h0),
+        logp=jnp.where(accept, logpn, logp0),
     )

@@ -34,7 +34,10 @@ class NUTSInfo(NamedTuple):
     num_steps: jnp.ndarray  # leapfrog steps taken
     tree_depth: jnp.ndarray
     diverging: jnp.ndarray
-    energy: jnp.ndarray  # -H at the accepted point
+    energy: jnp.ndarray  # Hamiltonian H = -logp + kinetic at the accepted
+    # point (Stan/numpyro convention; feed the series to
+    # diagnostics.ebfmi for energy diagnostics)
+    logp: jnp.ndarray  # log probability at the accepted point
 
 
 def _popcount(x):
@@ -151,6 +154,7 @@ def nuts_kernel(
         psum: jnp.ndarray
         q_prop: jnp.ndarray
         logp_prop: jnp.ndarray
+        h_prop: jnp.ndarray  # Hamiltonian at the proposal point
         log_weight: jnp.ndarray  # log sum of exp(h0 - h) over tree
         sum_accept: jnp.ndarray
         num_steps: jnp.ndarray
@@ -163,7 +167,7 @@ def nuts_kernel(
         q_left=q, p_left=p0, grad_left=grad0,
         q_right=q, p_right=p0, grad_right=grad0,
         psum=p0,
-        q_prop=q, logp_prop=logp0,
+        q_prop=q, logp_prop=logp0, h_prop=h0,
         log_weight=jnp.zeros((), dtype),
         sum_accept=jnp.zeros((), dtype),
         num_steps=jnp.zeros((), jnp.int32),
@@ -194,6 +198,7 @@ def nuts_kernel(
             ckpt_psum: jnp.ndarray  # (md, dim) momentum prefix before span
             q_prop: jnp.ndarray
             logp_prop: jnp.ndarray
+            h_prop: jnp.ndarray
             log_weight: jnp.ndarray
             sum_accept: jnp.ndarray
             q_first: jnp.ndarray
@@ -250,6 +255,7 @@ def nuts_kernel(
             take = take & ~diverging
             q_prop = jnp.where(take, qn, s.q_prop)
             logp_prop = jnp.where(take, logpn, s.logp_prop)
+            h_prop = jnp.where(take, h, s.h_prop)
 
             is_first = n == 0
             return _S(
@@ -257,7 +263,7 @@ def nuts_kernel(
                 q=qn, p=pn, grad=gn,
                 psum=psum,
                 ckpt_q=ckpt_q, ckpt_p=ckpt_p, ckpt_psum=ckpt_psum,
-                q_prop=q_prop, logp_prop=logp_prop,
+                q_prop=q_prop, logp_prop=logp_prop, h_prop=h_prop,
                 log_weight=new_logw,
                 sum_accept=s.sum_accept + accept,
                 q_first=jnp.where(is_first, qn, s.q_first),
@@ -282,6 +288,7 @@ def nuts_kernel(
             psum=jnp.zeros((dim,), dtype),
             ckpt_q=zeros, ckpt_p=zeros, ckpt_psum=zeros,
             q_prop=q0, logp_prop=jnp.array(-jnp.inf, dtype),
+            h_prop=h0,
             log_weight=jnp.array(-jnp.inf, dtype),
             sum_accept=jnp.zeros((), dtype),
             q_first=q0, p_first=p0_, grad_first=g0,
@@ -328,6 +335,7 @@ def nuts_kernel(
         take_new = take_new & ok
         q_prop = jnp.where(take_new, s.q_prop, t.q_prop)
         logp_prop = jnp.where(take_new, s.logp_prop, t.logp_prop)
+        h_prop = jnp.where(take_new, s.h_prop, t.h_prop)
         log_weight = jnp.logaddexp(t.log_weight, s.log_weight)
 
         # Top-level U-turn across the merged trajectory.
@@ -342,7 +350,7 @@ def nuts_kernel(
             q_left=q_left, p_left=p_left, grad_left=g_left,
             q_right=q_right, p_right=p_right, grad_right=g_right,
             psum=psum,
-            q_prop=q_prop, logp_prop=logp_prop,
+            q_prop=q_prop, logp_prop=logp_prop, h_prop=h_prop,
             log_weight=log_weight,
             sum_accept=t.sum_accept + s.sum_accept,
             num_steps=t.num_steps + n_leaves,
@@ -366,7 +374,8 @@ def nuts_kernel(
         num_steps=out.num_steps,
         tree_depth=out.depth,
         diverging=out.diverging,
-        energy=out.logp_prop,
+        energy=out.h_prop,
+        logp=out.logp_prop,
     )
     return out.q_prop, info
 
@@ -469,9 +478,9 @@ def _build_segments(
         )
         return (qs, da, wf, inv_mass), info.accept_prob
 
-    def init_carry(init_params, initial_step_size):
+    def init_carry(init_params, initial_step_size, mu=None):
         da0 = da_init(
-            jnp.asarray(initial_step_size, dtype), target_accept
+            jnp.asarray(initial_step_size, dtype), target_accept, mu=mu
         )
         return (
             init_params, da0, welford_init(dim, dtype),
@@ -487,7 +496,8 @@ def _build_segments(
             ks = jax.random.split(key, n_chains)
             qs, info = vkernel(data, qs, ks, step_size, inv_mass)
             return qs, (
-                qs, info.accept_prob, info.diverging, info.num_steps
+                qs, info.accept_prob, info.diverging, info.num_steps,
+                info.energy,
             )
 
         return lax.scan(sample_step, qs, keys)
@@ -564,19 +574,21 @@ def sample_nuts(
 
     is_mass_window, is_window_end = window_boundaries(num_warmup)
     key, k_warm = jax.random.split(key)
+    da_mu = None
     if initial_step_size == "auto" and num_warmup > 0:
         # Opt-in coarse step-size search before dual averaging
-        # (Hoffman & Gelman alg. 4).  Useful when the scale of the
-        # posterior is wholly unknown; measured neutral-to-negative on
-        # the well-scaled BASELINE configs (the dual-averaging anchor
-        # mu = log(10 eps0) then pulls adaptation high), so the fixed
-        # default stays.
+        # (Hoffman & Gelman alg. 4).  The found step size is already
+        # calibrated (one-leapfrog accept ~ 1/2), so the dual-averaging
+        # anchor re-anchors at mu = log(eps0) — Stan's log(10*eps0)
+        # upward bias is for blind initial guesses and measurably pulls
+        # a searched step size away from its calibrated value.
         key, k_eps = jax.random.split(key)
         eps_chains = jax.jit(jax.vmap(
             lambda q, k: find_reasonable_step_size(logprob_fn, q, k)
         ))(init_params, jax.random.split(k_eps, n_chains))
         initial_step_size = jnp.exp(jnp.mean(jnp.log(eps_chains)))
-    carry = init_carry(init_params, initial_step_size)
+        da_mu = jnp.log(initial_step_size)
+    carry = init_carry(init_params, initial_step_size, mu=da_mu)
     warm_keys = jax.random.split(k_warm, num_warmup)
 
     if chunk_size is None:
@@ -587,7 +599,7 @@ def sample_nuts(
         step_size = da_final(da)
         key, k_samp = jax.random.split(key)
         samp_keys = jax.random.split(k_samp, num_samples)
-        _, (chain, accept, div, steps) = sample_segment(
+        _, (chain, accept, div, steps, energy) = sample_segment(
             qs, samp_keys, step_size, inv_mass
         )
         accept = pooled_mean(accept)
@@ -612,17 +624,19 @@ def sample_nuts(
         step_size = da_final(da)
         key, k_samp = jax.random.split(key)
         samp_keys = jax.random.split(k_samp, num_samples)
-        chains, accepts, divs, steps_l = [], [], [], []
+        chains, accepts, divs, steps_l, energies = [], [], [], [], []
         for lo in range(0, num_samples, chunk_size):
             hi = min(lo + chunk_size, num_samples)
-            qs, (c, a, d, s) = samp_seg(
+            qs, (c, a, d, s, e) = samp_seg(
                 qs, samp_keys[lo:hi], step_size, inv_mass
             )
             chains.append(c)
             accepts.append(jnp.sum(a))
             divs.append(jnp.sum(d))
             steps_l.append(jnp.sum(s))
+            energies.append(e)
         chain = jnp.concatenate(chains, axis=0)
+        energy = jnp.concatenate(energies, axis=0)
         # Weight by transition count (chunks may be ragged).
         accept = pooled_mean(
             sum(accepts) / (num_samples * n_chains)
@@ -638,6 +652,9 @@ def sample_nuts(
         "accept_prob": accept,
         "divergences": div,
         "num_steps": steps,
+        # Per-transition Hamiltonian at the accepted point,
+        # (n_chains, num_samples) — input to diagnostics.ebfmi.
+        "energy": jnp.swapaxes(energy, 0, 1),
     }
     return chain, info
 
@@ -723,25 +740,28 @@ def sample_nuts_batch(
     qs, da, wf, inv_mass = carry
     step_size = jax.vmap(da_final)(da)
 
-    chains, accepts, divs, steps_l = [], [], [], []
+    chains, accepts, divs, steps_l, energies = [], [], [], [], []
     for lo in range(0, num_samples, chunk_size):
         hi = min(lo + chunk_size, num_samples)
-        qs, (c, a, d, s) = vsamp(
+        qs, (c, a, d, s, e) = vsamp(
             data_batch, qs, samp_keys[:, lo:hi], step_size, inv_mass
         )
         chains.append(c)
         accepts.append(jnp.sum(a, axis=(1, 2)))
         divs.append(jnp.sum(d, axis=(1, 2)))
         steps_l.append(jnp.sum(s, axis=(1, 2)))
+        energies.append(e)
 
     # Per chunk c is (B, chunk, n_chains, dim).
     chain = jnp.concatenate(chains, axis=1)
     chain = jnp.swapaxes(chain, 1, 2)[:, :, ::thin]
+    energy = jnp.swapaxes(jnp.concatenate(energies, axis=1), 1, 2)
     info = {
         "step_size": step_size,
         "inv_mass": inv_mass,
         "accept_prob": sum(accepts) / (num_samples * n_chains),
         "divergences": sum(divs),
         "num_steps": sum(steps_l),
+        "energy": energy,
     }
     return chain, info

@@ -6,41 +6,97 @@ per process before any computation.  These helpers wrap that plus the
 host-prefixed RNG and the "global mesh over all processes" construction
 used by the sharded samplers.
 
-This module cannot be exercised on the single-host CI environment; the
-collective code paths it feeds (psum/all_gather in parallel.sharded) are
-identical under single-host multi-device meshes, which the test-suite
-runs on an 8-device virtual CPU mesh (SURVEY.md 4.3's recommended
-pattern).
+Ordering constraint (the reason ``initialize`` must not probe the
+runtime): ``jax.distributed.initialize`` has to run *before* any backend
+is instantiated, and almost every introspection API
+(``jax.process_count()``, ``jax.devices()``, ...) instantiates one.  The
+multi-process decision is therefore made from the explicit arguments and
+the environment alone; only the already-initialized check touches JAX,
+through the distributed-state handle, which does not create a backend.
+
+Exercised for real by ``tests/test_multihost.py``: two spawned CPU
+processes (4 virtual devices each) bring up a 2-process global mesh
+through this helper and run the sharded sampler on it.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-__all__ = ["initialize", "global_chain_mesh", "host_local_batch"]
+__all__ = ["initialize", "is_distributed_initialized", "global_chain_mesh",
+           "host_local_batch"]
+
+
+# Environment variables whose presence signals a managed multi-process
+# launch that jax.distributed.initialize() can auto-detect.
+_AUTO_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",        # Cloud TPU pod
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "OMPI_MCA_orte_hnp_uri",       # OpenMPI
+    "PMI_SIZE",                    # MPICH / Hydra
+    "SLURM_NTASKS",                # Slurm
+)
+
+
+def is_distributed_initialized():
+    """True when jax.distributed.initialize has already run in this
+    process.  Reads the distributed-state handle only — does NOT
+    instantiate a backend, so it is safe to call before bring-up."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
 
 
 def initialize(coordinator_address=None, num_processes=None,
                process_id=None):
-    """Initialize jax.distributed (no-op when already initialized or
-    single-process).  On TPU pods the arguments are auto-detected from
-    the environment; on CPU/GPU fleets pass them explicitly."""
+    """Bring up jax.distributed when a multi-process launch is requested.
+
+    Returns True when running (or now brought up) multi-process, False
+    for a plain single-process run.  The decision is made WITHOUT
+    touching any backend-initializing API:
+
+    - explicit ``coordinator_address`` (+ ``num_processes`` /
+      ``process_id``) always initializes;
+    - otherwise, initialization is attempted only when a recognized
+      cluster environment variable is present (TPU pod, Slurm, MPI,
+      JAX_COORDINATOR_ADDRESS), letting JAX auto-detect the topology;
+    - with neither, this is a single-process run and the call is a no-op.
+
+    Misconfiguration (a coordinator that never comes up, inconsistent
+    topology) propagates as an exception rather than being silently
+    swallowed into a single-process fallback.
+    """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-    except (RuntimeError, ValueError):
-        # Single-process run (no coordinator) — fine.
-        pass
+    if is_distributed_initialized():
+        return True
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+
+    if any(os.environ.get(v) for v in _AUTO_ENV_VARS):
+        # Slurm with a single task is still single-process.
+        ntasks = os.environ.get("SLURM_NTASKS")
+        if ntasks is not None and int(ntasks) <= 1 and not any(
+            os.environ.get(v) for v in _AUTO_ENV_VARS[:6]
+        ):
+            return False
+        jax.distributed.initialize()
+        return True
+
+    return False
 
 
 def global_chain_mesh():

@@ -276,11 +276,22 @@ def sample_nuts_sharded(
         )
 
     mesh1 = Mesh(mesh.devices.reshape(-1), (CHAIN_AXIS,))
+    # Adaptation/summary statistics psum-pool to identical values on every
+    # device (replicated, P()); the per-transition energy series stays
+    # per-chain and shards with the chain axis.
+    info_specs = {
+        "step_size": P(),
+        "inv_mass": P(),
+        "accept_prob": P(),
+        "divergences": P(),
+        "num_steps": P(),
+        "energy": P(CHAIN_AXIS),
+    }
     fn = jax.shard_map(
         local,
         mesh=mesh1,
         in_specs=(P(CHAIN_AXIS), P()),
-        out_specs=(P(CHAIN_AXIS), P()),
+        out_specs=(P(CHAIN_AXIS), info_specs),
         check_vma=False,
     )
     return fn(init_params, key)

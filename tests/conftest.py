@@ -17,3 +17,34 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Two-tier suite: the default lane must stay fast for iteration; tests
+# marked ``slow`` (>~30 s each: wide-P Mosaic compiles, posterior parity
+# chains, multi-process spawns) run with --runslow (CI full lane:
+# ``python -m pytest tests/ -q --runslow``).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full lane)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: takes >30s; excluded from the default lane "
+        "(enable with --runslow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

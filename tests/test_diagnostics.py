@@ -87,3 +87,24 @@ def test_nested_state_roundtrip(tmp_path):
     assert meta == {"version": 1}
     np.testing.assert_array_equal(flat["a"], np.arange(3))
     np.testing.assert_array_equal(flat["b.c"], np.eye(2))
+
+
+def test_ebfmi_white_noise_near_two():
+    from celerite_tpu.inference.diagnostics import ebfmi
+
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal((3, 4000))
+    np.testing.assert_allclose(ebfmi(e), 2.0, rtol=0.15)
+
+
+def test_ebfmi_sticky_energy_small():
+    from celerite_tpu.inference.diagnostics import ebfmi
+
+    rng = np.random.default_rng(1)
+    # AR(1) with phi ~ 1: successive differences tiny vs variance.
+    n = 4000
+    x = np.empty(n)
+    x[0] = 0.0
+    for i in range(1, n):
+        x[i] = 0.995 * x[i - 1] + 0.1 * rng.standard_normal()
+    assert ebfmi(x[None]) [0] < 0.3

@@ -378,3 +378,63 @@ def test_nuts_warmup_depth_cap():
     np.testing.assert_allclose(s.mean(0), MU, atol=float(4 * se.max()))
     assert float(info["divergences"]) == 0
     assert 0.6 < float(info["accept_prob"]) < 0.99
+
+
+def test_nuts_energy_is_hamiltonian():
+    """info["energy"] holds the true Hamiltonian H = -logp + kinetic at
+    the accepted point (not logp): for this unnormalized 2-D gaussian,
+    E[H] = E[potential] + E[kinetic] = dim/2 + dim/2 = 2, and E-BFMI of a
+    well-mixing gaussian chain is ~1."""
+    from celerite_tpu.inference.diagnostics import ebfmi
+
+    init = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 2))
+    )
+    chain, info = sample_nuts(
+        gauss_logprob,
+        init,
+        jax.random.PRNGKey(11),
+        num_warmup=300,
+        num_samples=500,
+    )
+    e = np.asarray(info["energy"])
+    assert e.shape == (4, 500)
+    assert np.all(np.isfinite(e))
+    # H >= potential at the same point; potential >= 0 for this target,
+    # so energies must be nonnegative (logp_prop would go negative half
+    # the time only if it were mislabeled... it is always >= 0 here).
+    assert e.min() >= 0.0
+    assert abs(e.mean() - 2.0) < 0.5
+    bf = ebfmi(e)
+    assert bf.shape == (4,)
+    assert np.all(bf > 0.4)
+
+
+def test_nuts_kernel_energy_logp_consistent():
+    """Kernel-level: info.logp equals logprob(q_new) and the energy
+    exceeds the potential by the (nonnegative) kinetic term."""
+    from celerite_tpu.inference.nuts import nuts_kernel
+
+    q = jnp.asarray([0.3, -0.7])
+    qn, info = jax.jit(
+        lambda q, k: nuts_kernel(
+            gauss_logprob, q, k, 0.4, jnp.ones(2)
+        )
+    )(q, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        float(info.logp), float(gauss_logprob(qn)), rtol=1e-10
+    )
+    assert float(info.energy) >= -float(info.logp) - 1e-12
+
+
+def test_hmc_kernel_energy_logp_consistent():
+    q = jnp.asarray([0.5, 0.1])
+    qn, info = jax.jit(
+        lambda q, k: hmc_kernel(
+            gauss_logprob, q, k, 0.3, jnp.ones(2), num_leapfrog=8
+        )
+    )(q, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(
+        float(info.logp), float(gauss_logprob(qn)), rtol=1e-10
+    )
+    assert float(info.energy) >= -float(info.logp) - 1e-12

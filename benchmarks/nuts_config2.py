@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""BENCH: config[2] NUTS end-to-end throughput on one chip.
+
+The asteroseismic granulation model (BASELINE configs[2]): 2 SHOTerms +
+JitterTerm (7 params), N=1e5 points, 4 chains, fused fast-grad kernels.
+Measures post-warmup sampling throughput (the north-star samples/s
+metric), with warmup and compile accounted separately.
+
+Reference anchor: the reference's Ex.4 asteroseismology MCMC does 640k
+evals in ~10 CPU-min = ~1.1k evals/s at N=1,440 (paper/figures/
+example-stats.tex:10), i.e. ~2.4 effective samples/min; here N is 70x
+larger and the sampler delivers tens of samples/s.
+
+Writes one JSON line (BENCH-style) and optionally a results file.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--samples", type=int, default=600)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    from celerite_tpu import GP, terms
+    from celerite_tpu.inference.nuts import _build_segments
+    from celerite_tpu.inference.adaptation import da_final, \
+        window_boundaries
+    from celerite_tpu.ops.lower import Coefficients
+    from celerite_tpu.ops.smoother import sample_prior
+
+    n, chains = args.n, args.chains
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.uniform(0, 100.0, n))
+    yerr = np.full(n, 0.3)
+    kernel_true = (
+        terms.SHOTerm(log_S0=0.5, log_Q=np.log(1 / np.sqrt(2)),
+                      log_omega0=0.0)
+        + terms.SHOTerm(log_S0=-1.0, log_Q=2.5, log_omega0=1.8)
+        + terms.JitterTerm(log_sigma=-1.5)
+    )
+    kc = Coefficients(
+        *[np.asarray(c) for c in kernel_true.coefficients],
+        jitter=kernel_true.jitter,
+    )
+    y = (
+        sample_prior(kc, t, seed=2)
+        + np.sqrt(yerr**2 + kernel_true.jitter)
+        * rng.standard_normal(n)
+    )
+
+    kernel = (
+        terms.SHOTerm(log_S0=0.2, log_Q=-0.3, log_omega0=0.2)
+        + terms.SHOTerm(log_S0=-0.7, log_Q=2.0, log_omega0=1.6)
+        + terms.JitterTerm(log_sigma=-1.0)
+    )
+    gp = GP(kernel)
+    logprob = gp.build_logprob(
+        t, y, yerr=yerr,
+        log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+    )
+    dim = gp.vector_size
+    dtype = jnp.result_type(float)
+
+    _lpd = lambda data, th: logprob(th)
+    _vag = logprob.value_and_grad
+    _lpd.value_and_grad = lambda data, th: _vag(th)
+    init_carry, warm_seg, samp_seg, _, _ = _build_segments(
+        _lpd, chains, dim, dtype, 8, 0.8, warmup_max_tree_depth=6,
+    )
+    warm = jax.jit(
+        lambda c, k, mf, ef: warm_seg(None, c, k, mf, ef)
+    )
+    samp = jax.jit(
+        lambda qs, k, eps, im: samp_seg(None, qs, k, eps, im)
+    )
+
+    init = jnp.asarray(
+        gp.get_parameter_vector()[None, :]
+        + 0.02 * rng.standard_normal((chains, dim))
+    )
+    mass_win, win_end = window_boundaries(args.warmup)
+    key = jax.random.PRNGKey(0)
+    key, k_warm, k_samp = jax.random.split(key, 3)
+    warm_keys = jax.random.split(k_warm, args.warmup)
+    samp_keys = jax.random.split(k_samp, args.samples)
+
+    # Warmup, chunked (first chunk includes the warm-segment compile).
+    t0 = time.perf_counter()
+    carry = init_carry(init, 0.1)
+    for lo in range(0, args.warmup, args.chunk):
+        hi = min(lo + args.chunk, args.warmup)
+        carry = warm(
+            carry, warm_keys[lo:hi], mass_win[lo:hi], win_end[lo:hi]
+        )
+        if lo == 0:
+            jax.block_until_ready(carry[0])
+            t_compile_warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+    qs, da, wf, inv_mass = jax.block_until_ready(carry)
+    t_warm = time.perf_counter() - t0
+    eps = da_final(da)
+
+    # Sampling: first chunk = compile + run; remaining chunks timed.
+    t0 = time.perf_counter()
+    qs, out0 = samp(qs, samp_keys[: args.chunk], eps, inv_mass)
+    jax.block_until_ready(qs)
+    t_compile_samp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    chunks = [out0[0]]
+    divs = [jnp.sum(out0[2])]
+    steps = [jnp.sum(out0[3])]
+    n_timed = 0
+    for lo in range(args.chunk, args.samples, args.chunk):
+        hi = min(lo + args.chunk, args.samples)
+        qs, (c, a, d, s, e) = samp(
+            qs, samp_keys[lo:hi], eps, inv_mass
+        )
+        chunks.append(c)
+        divs.append(jnp.sum(d))
+        steps.append(jnp.sum(s))
+        n_timed += hi - lo
+    jax.block_until_ready(qs)
+    t_samp = time.perf_counter() - t0
+
+    chain = np.asarray(jnp.concatenate(chunks, axis=0))
+    total_steps = int(sum(int(x) for x in steps))
+    total_div = int(sum(int(x) for x in divs))
+
+    samples_per_s = chains * n_timed / t_samp
+    # End-to-end: warmup + all sampling, excluding one-time compiles.
+    e2e = chains * args.samples / (
+        t_warm + t_samp + (t_compile_samp if n_timed == 0 else 0.0)
+    )
+
+    from celerite_tpu.inference import summary
+
+    stats = summary(np.swapaxes(chain, 0, 1))
+    print(
+        f"warmup {args.warmup} transitions: {t_warm:.1f}s "
+        f"(+{t_compile_warm:.1f}s first-chunk incl. compile)"
+    )
+    print(
+        f"sampling: {chains * n_timed} samples in {t_samp:.1f}s "
+        f"= {samples_per_s:.1f} samples/s post-warmup "
+        f"({total_steps} leapfrogs, {total_div} divergences)"
+    )
+    print(
+        f"step_size={float(eps):.4f} max rhat="
+        f"{float(np.max(stats['rhat'])):.3f} min ess="
+        f"{float(np.min(stats['ess'])):.0f}"
+    )
+    rec = {
+        "metric": "nuts_config2_samples_per_s_postwarmup",
+        "value": round(samples_per_s, 2),
+        "unit": "samples/s",
+        "n": n,
+        "chains": chains,
+        "dim": dim,
+        "warmup_wall_s": round(t_warm, 2),
+        "sampling_wall_s": round(t_samp, 2),
+        "compile_wall_s": round(t_compile_warm + t_compile_samp, 2),
+        "end_to_end_samples_per_s": round(e2e, 2),
+        "divergences": total_div,
+        "max_rhat": round(float(np.max(stats["rhat"])), 4),
+        "min_ess": round(float(np.min(stats["ess"])), 1),
+        # reference Ex.4: ~2.4 effective samples/min at N=1,440
+        # (paper/figures/example-stats.tex:10)
+        "vs_reference_ex4_eff_samples_per_min": round(
+            60.0 * samples_per_s / 2.4, 1
+        ),
+    }
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -284,10 +284,23 @@ class GP(ModelSet):
 
         if solver == "auto":
             _no_general = self._A is None or np.size(self._A) == 0
+            _pr0, _pc0 = kernel.padded_size
+            _width = _pr0 + 2 * _pc0
             if t.shape[0] < 4096:
                 solver = "seq"
-            elif jax.default_backend() == "tpu" and _no_general:
+            elif (
+                jax.default_backend() == "tpu"
+                and _no_general
+                and _width <= 16
+            ):
                 # Lane-layout fused kernel: the fast + ds-accurate path.
+                # Wide models (P > 16) route to the block-parallel lax
+                # solver instead: the Pallas pipelines' unrolled (P, P)
+                # algebra pushes Mosaic compiles past 20 minutes there,
+                # while the blocked solver's cross-block composes become
+                # real (P, P) matmuls — MXU territory — measured 5x the
+                # sequential scan at P = 32-64, N = 16384 on v5e
+                # (benchmarks/results/tpu_v5e_wide.csv).
                 solver = "fused"
             else:
                 solver = "blocked"

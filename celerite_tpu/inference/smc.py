@@ -101,10 +101,36 @@ def sample_smc(
     def safe(x):
         return jnp.where(jnp.isfinite(x), x, -1e12)
 
+    vag_like = getattr(log_like_fn, "value_and_grad", None)
+
     def mutate(particles, key, beta, step_size):
         def tempered_logprob(theta):
             lp = log_prior_fn(theta) + beta * log_like_fn(theta)
             return jnp.where(jnp.isfinite(lp), lp, -1e12)
+
+        # Propagate the fused value+gradient entry point through the
+        # tempering: the HMC mutation kernel picks it up, so the whole
+        # particle cloud's leapfrog gradients ride the chain-folded
+        # gradient kernels in one launch instead of AD through n
+        # serialized Pallas calls (the NUTS fast path, reused).
+        if vag_like is not None:
+            vag_prior = getattr(
+                log_prior_fn, "value_and_grad",
+                jax.value_and_grad(log_prior_fn),
+            )
+
+            def tempered_vag(theta):
+                lpri, gpri = vag_prior(theta)
+                ll, gll = vag_like(theta)
+                val = lpri + beta * ll
+                grad = gpri + beta * gll
+                bad = ~jnp.isfinite(val)
+                return (
+                    jnp.where(bad, -1e12, val),
+                    jnp.where(bad, 0.0, grad),
+                )
+
+            tempered_logprob.value_and_grad = tempered_vag
 
         # Scale the HMC metric to the current particle cloud: as the
         # tempered posterior narrows (often anisotropically), unit-mass

@@ -380,6 +380,29 @@ def sample_smc_sharded(
                 lp = log_prior_fn(theta) + beta * log_like_fn(theta)
                 return jnp.where(jnp.isfinite(lp), lp, -1e12)
 
+            # Propagate the fused value+gradient entry so the mutation
+            # leapfrogs ride the chain-folded gradient kernels (see
+            # inference/smc.py mutate).
+            vag_like = getattr(log_like_fn, "value_and_grad", None)
+            if vag_like is not None:
+                vag_prior = getattr(
+                    log_prior_fn, "value_and_grad",
+                    jax.value_and_grad(log_prior_fn),
+                )
+
+                def tempered_vag(theta):
+                    lpri, gpri = vag_prior(theta)
+                    ll, gll = vag_like(theta)
+                    val = lpri + beta * ll
+                    grad = gpri + beta * gll
+                    bad = ~jnp.isfinite(val)
+                    return (
+                        jnp.where(bad, -1e12, val),
+                        jnp.where(bad, 0.0, grad),
+                    )
+
+                tempered.value_and_grad = tempered_vag
+
             # Cloud-variance HMC metric, pooled across shards so every
             # device mutates with the same (global) scale
             # (inference/smc.py mutate).

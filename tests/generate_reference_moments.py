@@ -71,5 +71,19 @@ def ensemble_moments(name, make, n_walkers=32, n_steps=1500, burn=300,
 
 
 if __name__ == "__main__":
-    ensemble_moments("CONFIG0", pc.make_config0)
-    ensemble_moments("CONFIG1", pc.make_config1)
+    which = sys.argv[1:] or ["0", "1", "2", "3"]
+    if "0" in which:
+        ensemble_moments("CONFIG0", pc.make_config0)
+    if "1" in which:
+        ensemble_moments("CONFIG1", pc.make_config1)
+    if "2" in which:
+        # 7-dim mixture posterior: more walkers + steps for stable tails.
+        ensemble_moments(
+            "CONFIG2", pc.make_config2, n_walkers=40, n_steps=2000,
+            burn=400, procs=4,
+        )
+    if "3" in which:
+        ensemble_moments(
+            "CONFIG3", pc.make_config3, n_walkers=32, n_steps=2000,
+            burn=400, procs=4,
+        )

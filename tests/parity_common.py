@@ -97,6 +97,93 @@ def make_config1(n=500, seed=7):
     return t, yerr, y, logpost, names, truth
 
 
+def make_config2(n=768, seed=11):
+    """BASELINE config[2] anchor: asteroseismic 2xSHOTerm + jitter
+    mixture (7 params) at tutorial scale, where the dense f64 posterior
+    is tractable (N=768).  The full-scale N=1e5 run of the same model is the
+    throughput benchmark (benchmarks/nuts_config2.py); posterior parity
+    is pinned here.
+
+    Returns (t, yerr, y, logpost, names, theta_truth).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 100, n))
+    yerr = np.full(n, 0.3)
+    # log_S0_1, log_Q_1, log_w0_1 (granulation), log_S0_2, log_Q_2,
+    # log_w0_2 (oscillation), log_sigma (jitter sd).
+    truth = np.array([0.5, np.log(1 / np.sqrt(2.0)), 0.0,
+                      -1.0, 2.5, 1.8, -1.5])
+    tau = np.abs(t[:, None] - t[None, :])
+
+    def build_K(theta):
+        K = sho_kernel(tau, *theta[0:3]) + sho_kernel(tau, *theta[3:6])
+        K[np.diag_indices_from(K)] += yerr**2 + np.exp(2.0 * theta[6])
+        return K
+
+    K = build_K(truth)
+    y = np.linalg.cholesky(K) @ rng.standard_normal(n)
+
+    lo_q = np.log(0.5) + 1e-6
+
+    def logpost(theta):
+        if (
+            np.any(np.abs(theta) > 12)
+            or theta[1] < lo_q
+            or theta[4] < lo_q
+        ):
+            return -np.inf
+        try:
+            ll = _dense_loglik(build_K(theta), y)
+        except np.linalg.LinAlgError:
+            return -np.inf
+        return ll + log_prior(theta)
+
+    names = ["log_S0_1", "log_Q_1", "log_w0_1",
+             "log_S0_2", "log_Q_2", "log_w0_2", "log_sigma"]
+    return t, yerr, y, logpost, names, truth
+
+
+def complex_kernel(tau, log_a, log_b, log_c, log_d):
+    """Closed-form 4-parameter ComplexTerm covariance (f64)."""
+    a, b, c, d = np.exp([log_a, log_b, log_c, log_d])
+    return np.exp(-c * tau) * (a * np.cos(d * tau) + b * np.sin(d * tau))
+
+
+def make_config3(n=512, seed=3):
+    """BASELINE config[3] anchor: general ComplexTerm kernel (the ADVI
+    config).  Dense f64 posterior over (log_a, log_b, log_c, log_d) with
+    the reference's a*c >= b*d positivity constraint
+    (reference terms.py:446-451).
+
+    Returns (t, yerr, y, logpost, names, theta_truth).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 40, n))
+    yerr = np.full(n, 0.2)
+    truth = np.array([0.3, -1.0, -0.3, 0.5])
+    tau = np.abs(t[:, None] - t[None, :])
+    K = complex_kernel(tau, *truth)
+    K[np.diag_indices_from(K)] += yerr**2
+    y = np.linalg.cholesky(K) @ rng.standard_normal(n)
+
+    def logpost(theta):
+        log_a, log_b, log_c, log_d = theta
+        if np.any(np.abs(theta) > 12) or (
+            log_a + log_c < log_b + log_d
+        ):
+            return -np.inf
+        Kt = complex_kernel(tau, *theta)
+        Kt[np.diag_indices_from(Kt)] += yerr**2
+        try:
+            ll = _dense_loglik(Kt, y)
+        except np.linalg.LinAlgError:
+            return -np.inf
+        return ll + log_prior(theta)
+
+    names = ["log_a", "log_b", "log_c", "log_d"]
+    return t, yerr, y, logpost, names, truth
+
+
 def stretch_sample(logpost, p0, n_steps, rng, a=2.0, map_fn=None):
     """Goodman & Weare (2010) affine-invariant stretch move — the emcee
     algorithm, reimplemented from the published recipe.

@@ -33,6 +33,7 @@ def make_problem(n=256, seed=0):
     lambda: terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.5)
     + terms.RealTerm(log_a=-0.2, log_c=0.1),
 ])
+@pytest.mark.slow
 def test_adjoint_grad_matches_blocked(kernel_fn):
     t, yerr, y = make_problem()
     kernel = kernel_fn()
@@ -73,6 +74,7 @@ def test_adjoint_grad_matches_blocked(kernel_fn):
     )
 
 
+@pytest.mark.slow
 def test_adjoint_ll_matches_seq_ssm_level():
     from celerite_tpu.ops import seq
 
@@ -89,6 +91,7 @@ def test_adjoint_ll_matches_seq_ssm_level():
     np.testing.assert_allclose(float(ll), float(ll_ref), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_adjoint_grad_wrt_data():
     """Cotangents w.r.t. y flow through hy (the -K^-1 resid identity)."""
     t, yerr, y = make_problem(128, seed=5)

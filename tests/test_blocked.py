@@ -92,6 +92,7 @@ def test_ll_matches_seq(n):
     np.testing.assert_allclose(float(ll_blk), float(ll_seq), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_ll_jit_grad_vmap():
     ssm, y = make_problem(512)
 
@@ -153,6 +154,7 @@ def test_non_pd_detected():
 
 
 @pytest.mark.parametrize("L", [16, 64])
+@pytest.mark.slow
 def test_blocked_solve_full_matches_seq(L):
     ssm, y = make_problem(700)
     fact = seq.factor(ssm)

@@ -59,6 +59,7 @@ def test_lcb_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_batched_loglik_matches_per_curve():
     ts, ys, es = make_ragged()
     batch = LightCurveBatch.from_ragged(ts, ys, es)
@@ -76,6 +77,7 @@ def test_batched_loglik_matches_per_curve():
         )
 
 
+@pytest.mark.slow
 def test_make_fleet_loglik_matches_batched():
     """Fleet-folded loglik == the vmapped masked-scan batch path."""
     import jax

@@ -87,6 +87,7 @@ def test_fused_non_pd():
     assert np.isneginf(float(ll))
 
 
+@pytest.mark.slow
 def test_fused_custom_vjp_matches_seq():
     kernel = terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3)
     rng = np.random.default_rng(1)
@@ -121,6 +122,7 @@ def test_fused_rejects_bad_block_count():
         fused.gp_log_likelihood(ssm, y, num_blocks=6, interpret=True)
 
 
+@pytest.mark.slow
 def test_wide_model_split_pipeline_matches_seq():
     """P > 8 models route off the in-VMEM-scan kernel on TPU; the
     destination (pallas_solver.run_from_lanes) must agree with seq."""

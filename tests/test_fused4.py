@@ -102,6 +102,7 @@ def test_primal_matches_reference(jr, jc, mk, n, b):
 
 
 @pytest.mark.parametrize("jr,jc,mk", CASES)
+@pytest.mark.slow
 def test_grad_matches_reference(jr, jc, mk):
     n, b = 257, 32
     t, y, yerr = _mk_data(n, seed=3)
@@ -132,6 +133,7 @@ def test_grad_matches_reference(jr, jc, mk):
     )
 
 
+@pytest.mark.slow
 def test_wide_p12_primal_and_grad():
     """P = 12 (three padded SHO terms): the widest fused4-gated model.
 
@@ -169,6 +171,7 @@ def test_wide_p12_primal_and_grad():
     )
 
 
+@pytest.mark.slow
 def test_grad_finite_difference():
     n, b = 193, 32
     jr, jc = 0, 1
@@ -210,6 +213,7 @@ def test_pack_cf_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_chain_folded_batch():
     """Chain-folding: (n_chain, C) batch on a tiled plan == per-chain runs."""
     n, b, nc = 193, 32, 4
@@ -265,6 +269,7 @@ def test_fold_lanes_layout():
     np.testing.assert_array_equal(np.asarray(folded), np.asarray(planb.y))
 
 
+@pytest.mark.slow
 def test_chain_folded_mean_residuals():
     """Per-chain residual streams (active mean models) through the fold.
 
@@ -317,6 +322,7 @@ def test_chain_folded_mean_residuals():
             np.testing.assert_allclose(float(gmu[k]), fd, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_single_step_grid():
     """L = 1 edge: every @pl.when branch fires in one grid step."""
     n, b = 100, 128  # L = ceil(100/128) = 1
@@ -337,6 +343,7 @@ def test_single_step_grid():
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_gp_facade_fused4_vs_blocked():
     """build_loglik solver='fused' (fused4 path) vs blocked, incl. grads
     through the terms chain (SHO Q-branch padding) and value_ok_grad."""
@@ -389,6 +396,7 @@ def _mk_fleet(seed=21):
     return t2, y2, d2, lengths
 
 
+@pytest.mark.slow
 def test_fleet_folding_per_curve():
     """One lane per curve == independent single-curve runs (ll + grad)."""
     t2, y2, d2, lengths = _mk_fleet()
@@ -426,6 +434,7 @@ def test_fleet_folding_per_curve():
         np.testing.assert_allclose(float(lls[k]), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_fleet_particle_batch():
     """Fleet tiled per particle: per-particle fleet-summed ll + grads."""
     t2, y2, d2, lengths = _mk_fleet(seed=22)

@@ -293,6 +293,7 @@ def test_build_loglik_fast_grad_matches():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_incremental_kernel_sum():
     """Kernel sums grown term by term up to P=26, each vs the dense ll.
 

@@ -143,6 +143,7 @@ def test_smc_bimodal():
     assert 0.2 < frac_left < 0.8  # both modes survive
 
 
+@pytest.mark.slow
 def test_nuts_gp_posterior_recovery():
     """configs[0]-style: RealTerm GP hyperparameter fit on simulated data.
 
@@ -254,6 +255,7 @@ def test_map_fit_improves_ll():
     assert np.all(np.abs(np.asarray(g)) < 0.5)
 
 
+@pytest.mark.slow
 def test_sample_nuts_chunked_identical():
     """Host-chunked execution must reproduce the single-launch run."""
     init = jnp.asarray(
@@ -291,6 +293,7 @@ def test_smc_host_loop_matches():
     assert int(r1.num_stages) == int(r2.num_stages)
 
 
+@pytest.mark.slow
 def test_sample_nuts_batch_chunked():
     """chunk_size composes with batching (VERDICT r1 weak item 4)."""
     from celerite_tpu.inference.nuts import sample_nuts_batch
@@ -438,3 +441,92 @@ def test_hmc_kernel_energy_logp_consistent():
         float(info.logp), float(gauss_logprob(qn)), rtol=1e-10
     )
     assert float(info.energy) >= -float(info.logp) - 1e-12
+
+
+def _attach_vag(f):
+    """A copy of f carrying value_and_grad (the fused-kernel protocol)."""
+    g = lambda x: f(x)
+    g.value_and_grad = jax.value_and_grad(f)
+    return g
+
+
+def test_advi_fused_path_matches_ad():
+    """fit_advi's closed-form reparameterization gradient over the fused
+    value_and_grad path must match AD through the vmapped closure,
+    including the clamped non-finite draws."""
+
+    def lp(x):
+        # -inf outside a box exercises the clamping equality.
+        inside = jnp.all(jnp.abs(x) < 2.5)
+        return jnp.where(inside, gauss_logprob(x), -jnp.inf)
+
+    key = jax.random.PRNGKey(0)
+    r1 = fit_advi(lp, jnp.zeros(2), key, num_steps=120, num_mc=4)
+    r2 = fit_advi(_attach_vag(lp), jnp.zeros(2), key,
+                  num_steps=120, num_mc=4)
+    np.testing.assert_allclose(
+        np.asarray(r1.elbo_trace), np.asarray(r2.elbo_trace), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.mu), np.asarray(r2.mu), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.sigma), np.asarray(r2.sigma), rtol=1e-8
+    )
+
+
+def test_laplace_fused_path_matches_ad():
+    from celerite_tpu.inference import laplace_fit
+
+    m1, c1 = laplace_fit(gauss_logprob, jnp.zeros(2), num_steps=300)
+    m2, c2 = laplace_fit(
+        _attach_vag(gauss_logprob), jnp.zeros(2), num_steps=300
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-10)
+
+
+def test_smc_fused_path_matches_ad():
+    """The tempered closure's fused value_and_grad (sum-of-vags) must
+    reproduce AD-through-the-sum mutation for mutation."""
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x**2) / 25.0
+
+    key = jax.random.PRNGKey(5)
+    init = jnp.asarray(
+        np.random.default_rng(2).standard_normal((128, 2))
+    ) * 5.0
+    r1 = sample_smc(log_prior, gauss_logprob, init, key)
+    r2 = sample_smc(
+        _attach_vag(log_prior), _attach_vag(gauss_logprob), init, key
+    )
+    p1, p2 = np.asarray(r1.particles), np.asarray(r2.particles)
+    assert int(r1.num_stages) == int(r2.num_stages)
+    np.testing.assert_allclose(
+        float(r1.log_evidence), float(r2.log_evidence), rtol=1e-6
+    )
+    np.testing.assert_allclose(p1.mean(0), p2.mean(0), atol=0.3)
+    np.testing.assert_allclose(
+        np.cov(p1.T), np.cov(p2.T), rtol=0.4, atol=0.3
+    )
+
+
+def test_advi_gp_fused_closure():
+    """End-to-end: a GP build_logprob closure (fused path carries
+    value_and_grad) optimizes through fit_advi's folded branch."""
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0, 10, 256))
+    yerr = 0.1 * np.ones_like(t)
+    gp = GP(terms.SHOTerm(log_S0=0.0, log_Q=0.5, log_omega0=0.5))
+    gp.compute(t, yerr)
+    y = np.asarray(gp.sample(seed=3))
+    lp = gp.build_logprob(t, y, yerr, solver="fused")
+    assert hasattr(lp, "value_and_grad")
+    res = fit_advi(
+        lp, jnp.asarray(gp.get_parameter_vector()),
+        jax.random.PRNGKey(0), num_steps=200, num_mc=4,
+    )
+    elbo = np.asarray(res.elbo_trace)
+    assert np.isfinite(elbo[-10:]).all()
+    assert elbo[-10:].mean() > elbo[:10].mean()

@@ -36,6 +36,7 @@ def make_problem(n=512, seed=0, kernel=None):
 
 @pytest.mark.parametrize("num_blocks", [8, 32])
 @pytest.mark.parametrize("n", [512, 500])
+@pytest.mark.slow
 def test_onepass_matches_seq(n, num_blocks):
     ssm, y, *_ = make_problem(n)
     ll_ref, ok_ref = seq.gp_log_likelihood(ssm, y)
@@ -64,6 +65,7 @@ def test_onepass_nonpd_flags_not_ok():
     assert float(ll) == -np.inf
 
 
+@pytest.mark.slow
 def test_onepass_grad_matches_blocked():
     ssm, y, kernel, t, yerr = make_problem(400)
     gp = GP(kernel)
@@ -96,6 +98,7 @@ def test_onepass_grad_matches_blocked():
     )
 
 
+@pytest.mark.slow
 def test_onepass_grad_wrt_data():
     ssm, y, *_ = make_problem(300, seed=4)
 

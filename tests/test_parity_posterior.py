@@ -76,6 +76,7 @@ def _check_moments(flat, ref_mean, ref_sd, ref_se, n_eff_guess=2000.0):
     np.testing.assert_allclose(flat.std(0), ref_sd, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_posterior_parity_config0_realterm():
     """BASELINE config[0]: RealTerm GP, N=1024 simulated series."""
     t, yerr, y, _, names, truth = pc.make_config0()
@@ -97,6 +98,7 @@ def test_posterior_parity_config0_realterm():
     _check_moments(flat, CONFIG0_MEAN, CONFIG0_SD, CONFIG0_SE)
 
 
+@pytest.mark.slow
 def test_posterior_parity_config1_sho():
     """BASELINE config[1]: SHOTerm oscillator, N=500 Kepler-like series."""
     t, yerr, y, _, names, truth = pc.make_config1()
@@ -134,3 +136,131 @@ def test_loglik_matches_dense_reference_pipeline():
         assert bool(ok)
         ours = float(ll) + pc.log_prior(th)
         np.testing.assert_allclose(ours, logpost_ref(th), rtol=1e-10)
+
+
+# Pinned output of tests/generate_reference_moments.py configs 2/3
+# (CONFIG2: 40 walkers x 2000 steps burn 400; CONFIG3: 32 x 2000 burn
+# 400; seed 123).
+CONFIG2_MEAN = [0.07890788872387229, 0.4383493309024832,
+                -0.26189859851030717, -1.0226629346377833,
+                2.9407010521424697, 1.8013033573706274,
+                -1.4179510472425874]
+CONFIG2_SD = [0.5102373302422807, 0.5797028728675817,
+              0.2445514208872881, 0.092000885289419,
+              0.2888757430609442, 0.0073559289577607885,
+              0.10682556124659207]
+CONFIG2_SE = [0.012517608042749111, 0.015838472698976907,
+              0.005970787910870407, 0.002264588207447239,
+              0.0068093985030381055, 0.00017846158562904736,
+              0.0027481348967769706]
+
+CONFIG3_MEAN = [0.3444408965831667, -2.0613550352964944,
+                -0.4833240149756636, 0.32644169087446456]
+CONFIG3_SD = [0.2519651787218258, 1.6162775333890835,
+              0.4387360897894587, 0.21672637901979405]
+CONFIG3_SE = [0.0064388045162211095, 0.031930682281957404,
+              0.010498506197862044, 0.007032080538881612]
+
+
+@pytest.mark.slow
+def test_posterior_parity_config2_asteroseismic():
+    """BASELINE config[2] anchor: 2xSHOTerm + JitterTerm mixture
+    (7 params) at N=768 vs the dense/stretch-move reference pipeline."""
+    t, yerr, y, _, names, truth = pc.make_config2()
+
+    kernel = (
+        terms.SHOTerm(log_S0=truth[0], log_Q=truth[1],
+                      log_omega0=truth[2])
+        + terms.SHOTerm(log_S0=truth[3], log_Q=truth[4],
+                        log_omega0=truth[5])
+        + terms.JitterTerm(log_sigma=truth[6])
+    )
+    gp = GP(kernel)
+
+    lo_q = float(np.log(0.5) + 1e-6)
+
+    def log_prior(theta):
+        ok = (
+            jnp.all(jnp.abs(theta) <= 12.0)
+            & (theta[1] >= lo_q)
+            & (theta[4] >= lo_q)
+        )
+        return jnp.where(
+            ok, -0.5 * jnp.sum((theta / 3.0) ** 2), -jnp.inf
+        )
+
+    flat, info = _run_nuts(
+        gp, t, yerr, y, log_prior, truth, seed=2, n_chains=8,
+        num_warmup=800, num_samples=1500,
+    )
+    assert float(info["accept_prob"]) > 0.6
+    # 7-dim weakly-identified mixture: NUTS ESS on the granulation
+    # params is lower than the gaussian-ish configs; widen the ESS guess
+    # accordingly but keep the 4-sigma MC gate.
+    _check_moments(flat, CONFIG2_MEAN, CONFIG2_SD, CONFIG2_SE,
+                   n_eff_guess=800.0)
+
+
+@pytest.mark.slow
+def test_posterior_parity_config3_complex():
+    """BASELINE config[3] anchor: general ComplexTerm kernel vs the
+    dense/stretch-move reference pipeline, via NUTS (exact MCMC)."""
+    t, yerr, y, _, names, truth = pc.make_config3()
+
+    kernel = terms.ComplexTerm(
+        log_a=truth[0], log_b=truth[1], log_c=truth[2], log_d=truth[3]
+    )
+    gp = GP(kernel)
+
+    def log_prior(theta):
+        ok = jnp.all(jnp.abs(theta) <= 12.0) & (
+            theta[0] + theta[2] >= theta[1] + theta[3]
+        )
+        return jnp.where(
+            ok, -0.5 * jnp.sum((theta / 3.0) ** 2), -jnp.inf
+        )
+
+    flat, info = _run_nuts(
+        gp, t, yerr, y, log_prior, truth, seed=3, n_chains=8,
+        num_warmup=800, num_samples=1500,
+    )
+    assert float(info["accept_prob"]) > 0.6
+    _check_moments(flat, CONFIG3_MEAN, CONFIG3_SD, CONFIG3_SE,
+                   n_eff_guess=1500.0)
+
+
+@pytest.mark.slow
+def test_advi_approximates_config3_posterior():
+    """config[3]'s ADVI (the BASELINE-designated method) against the
+    pinned reference moments: variational means within fractions of the
+    posterior sd, scales within a factor ~2 (mean-field bias bound)."""
+    from celerite_tpu.inference import fit_advi
+
+    t, yerr, y, _, names, truth = pc.make_config3()
+    kernel = terms.ComplexTerm(
+        log_a=truth[0], log_b=truth[1], log_c=truth[2], log_d=truth[3]
+    )
+    gp = GP(kernel)
+
+    def log_prior(theta):
+        ok = jnp.all(jnp.abs(theta) <= 12.0) & (
+            theta[0] + theta[2] >= theta[1] + theta[3]
+        )
+        return jnp.where(
+            ok, -0.5 * jnp.sum((theta / 3.0) ** 2), -jnp.inf
+        )
+
+    logprob = gp.build_logprob(t, y, yerr=yerr, log_prior=log_prior)
+    res = fit_advi(
+        logprob, jnp.asarray(truth), jax.random.PRNGKey(3),
+        num_steps=4000, num_mc=8,
+    )
+    mu = np.asarray(res.mu)
+    sd = np.asarray(res.sigma)
+    ref_mean = np.asarray(CONFIG3_MEAN)
+    ref_sd = np.asarray(CONFIG3_SD)
+    # Mean-field ADVI on a correlated posterior: means land within the
+    # bulk; scales are underestimated but same order.
+    assert np.all(np.abs(mu - ref_mean) < 1.2 * ref_sd), (mu, ref_mean)
+    assert np.all(sd < 2.0 * ref_sd)
+    assert np.all(sd > 0.05 * ref_sd)

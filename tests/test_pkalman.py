@@ -7,6 +7,7 @@ handling (the merged train/test grid), and the marginal likelihood.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def _grid(n=257, seed=0, missing=0.3):
     return dt, yv, rv, obs
 
 
+@pytest.mark.slow
 def test_matches_sequential_filter_smoother():
     real_ = smoother.realize(_mk_coeffs())
     assert real_ is not None
@@ -54,6 +56,7 @@ def test_matches_sequential_filter_smoother():
     np.testing.assert_allclose(float(ll_par), float(ll_seq), rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_all_observed_and_duplicate_times():
     real_ = smoother.realize(_mk_coeffs())
     rng = np.random.default_rng(3)
@@ -75,6 +78,7 @@ def test_all_observed_and_duplicate_times():
     np.testing.assert_allclose(float(ll_par), float(ll_seq), rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_predict_var_parallel_matches_sequential():
     coeffs = _mk_coeffs()
     rng = np.random.default_rng(7)

@@ -43,6 +43,7 @@ def make_problem(n, seed=0):
 
 
 @pytest.mark.parametrize("n", [1024, 1000])  # even and ragged
+@pytest.mark.slow
 def test_sharded_ll_matches_seq(n):
     require_devices(8)
     ssm, y = make_problem(n)
@@ -92,6 +93,7 @@ def test_sharded_ll_jit_and_grad():
     )
 
 
+@pytest.mark.slow
 def test_sharded_nuts_gaussian():
     require_devices(8)
     cov = np.array([[2.0, 1.2], [1.2, 1.5]])

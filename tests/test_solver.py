@@ -269,6 +269,7 @@ def test_solver_blocked_method_agrees():
     )
 
 
+@pytest.mark.slow
 def test_predict_parallel_matches_sequential():
     from celerite_tpu.ops import seq
 

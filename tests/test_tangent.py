@@ -27,6 +27,7 @@ def make_inputs_fn(kernel, t, yerr, y):
 
 
 @pytest.mark.parametrize("n,b", [(512, 8), (1000, 16)])
+@pytest.mark.slow
 def test_jac_matches_jacfwd_blocked(n, b):
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 50, n))
@@ -55,6 +56,7 @@ def test_jac_matches_jacfwd_blocked(n, b):
     np.testing.assert_allclose(np.asarray(dll), np.asarray(jac), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_jac_with_mean_and_resid_tangent():
     # Tangent directions that touch the residual (mean parameter) as well.
     rng = np.random.default_rng(1)

@@ -23,6 +23,11 @@ def main():
     from celerite_tpu import GP, terms
     from celerite_tpu.ops import best_ll
     from celerite_tpu.ops.lower import Coefficients, lower
+    from celerite_tpu.utils import enable_persistent_cache
+
+    # One-time compiles through the remote-compile tunnel are
+    # minutes-scale; the persistent cache makes re-runs ~27 s total.
+    enable_persistent_cache()
 
     n = 1_000_000
 

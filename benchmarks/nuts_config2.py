@@ -42,6 +42,9 @@ def main():
     from celerite_tpu import GP, terms
     from celerite_tpu.inference.nuts import _build_segments
     from celerite_tpu.inference.adaptation import da_final, \
+    from celerite_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # one-time compiles cache to disk
         window_boundaries
     from celerite_tpu.ops.lower import Coefficients
     from celerite_tpu.ops.smoother import sample_prior
@@ -107,7 +110,7 @@ def main():
     carry = init_carry(init, 0.1)
     for lo in range(0, args.warmup, args.chunk):
         hi = min(lo + args.chunk, args.warmup)
-        carry = warm(
+        carry, _ = warm(
             carry, warm_keys[lo:hi], mass_win[lo:hi], win_end[lo:hi]
         )
         if lo == 0:

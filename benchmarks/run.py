@@ -214,10 +214,6 @@ def run_grad_bench(args, jax, jnp, dtype):
     from celerite_tpu import GP, terms
 
     rng = np.random.default_rng(42)
-    n = 2 ** args.maxN
-    t = np.sort(rng.uniform(0, n / 1000.0, n))
-    yerr = np.full(n, 0.1)
-    y = rng.standard_normal(n)
 
     def sho(i):
         return terms.SHOTerm(
@@ -230,25 +226,30 @@ def run_grad_bench(args, jax, jnp, dtype):
         kernel = sho(0)
         for i in range(1, nterms):
             kernel = kernel + sho(i)
-        gp = GP(kernel, mean=0.1, fit_mean=True)
-        lp = gp.build_logprob(
-            t, y, yerr=yerr, solver="fused", fast_grad=True,
-            log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
-        )
-        th = jnp.asarray(gp.get_parameter_vector(), dtype)
-        vg = jax.jit(lp.value_and_grad)
+        for logn in range(args.minN, args.maxN + 1, args.stepN):
+            n = 2**logn
+            t = np.sort(rng.uniform(0, n / 1000.0, n))
+            yerr = np.full(n, 0.1)
+            y = rng.standard_normal(n)
+            gp = GP(kernel, mean=0.1, fit_mean=True)
+            lp = gp.build_logprob(
+                t, y, yerr=yerr, solver="fused", fast_grad=True,
+                log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+            )
+            th = jnp.asarray(gp.get_parameter_vector(), dtype)
+            vg = jax.jit(lp.value_and_grad)
 
-        dt_grad = timer(lambda: vg(th), sync=jax.block_until_ready)
-        ll_fn = jax.jit(lp)
-        dt_val = timer(lambda: ll_fn(th), sync=jax.block_until_ready)
-        row = {
-            "n_params": int(th.shape[0]),
-            "N": n,
-            "value_time": dt_val,
-            "value_grad_time": dt_grad,
-        }
-        rows.append(row)
-        print(row, flush=True)
+            dt_grad = timer(lambda: vg(th), sync=jax.block_until_ready)
+            ll_fn = jax.jit(lp)
+            dt_val = timer(lambda: ll_fn(th), sync=jax.block_until_ready)
+            row = {
+                "n_params": int(th.shape[0]),
+                "N": n,
+                "value_time": dt_val,
+                "value_grad_time": dt_grad,
+            }
+            rows.append(row)
+            print(row, flush=True)
 
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(

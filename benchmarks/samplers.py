@@ -49,6 +49,9 @@ def main():
 
     from celerite_tpu import GP, terms
     from celerite_tpu.inference import fit_advi
+    from celerite_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # one-time compiles cache to disk
 
     rng = np.random.default_rng(0)
     n = args.n

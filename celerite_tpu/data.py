@@ -220,25 +220,7 @@ def batched_gp_log_likelihood(kernel, params, batch, dtype=None):
             jitter=kernel.get_jitter(params).astype(dtype),
         )
         ssm = lower(coeffs, t, yerr**2)
-        # Neutralize padded samples.
-        from .ops.lower import SSM
-
-        m = mask[:, None]
-        ssm = SSM(
-            U=jnp.where(m, ssm.U, 0.0),
-            V=jnp.where(m, ssm.V, 0.0),
-            phi=jnp.where(m, ssm.phi, 1.0),
-            A=jnp.where(mask, ssm.A, 1.0),
-        )
-        resid = jnp.where(mask, y, 0.0)
-        quad, logdet, min_d = seq._ll_scan(ssm, resid)
-        ll = -0.5 * (
-            quad
-            + logdet
-            + n_valid.astype(dtype) * jnp.log(2.0 * jnp.pi).astype(dtype)
-        )
-        ok = (min_d > 0) & jnp.isfinite(ll)
-        return jnp.where(ok, ll, -jnp.inf), ok
+        return seq.gp_log_likelihood_masked(ssm, y, mask, n_valid)
 
     return jax.vmap(one)(tb, yb, eb, mb, nb)
 

@@ -16,6 +16,7 @@ class API exists for reference compatibility and interactive use.
 from __future__ import annotations
 
 import math
+import os
 import warnings
 
 import numpy as np
@@ -446,7 +447,12 @@ class GP(ModelSet):
             # (lanes4.fold_lanes) and the kernels differentiate w.r.t.
             # the data stream, so mean-parameter gradients flow through
             # the folded launch like everything else.
-            _foldable = on_tpu
+            # Off-TPU the folded kernels would run in interpret mode
+            # (slow), so folding is TPU-only; CELERITE_TPU_FORCE_FOLD=1
+            # opts in anyway so the fold/chunk logic is testable on CPU.
+            _foldable = on_tpu or bool(
+                os.environ.get("CELERITE_TPU_FORCE_FOLD")
+            )
             _mean_active = len(idx) > 0 and int(idx.max()) >= nk
             _mp_fixed = fixed[nk:]
             # Host-side residual for the folded plans, computed OUTSIDE
@@ -504,14 +510,46 @@ class GP(ModelSet):
                     _folded_cache[nc] = (planb, fnb)
                 return _folded_cache[nc]
 
+            # Folded plans tile the data stream once per chain, so the
+            # program constants grow as n_chain * N floats; past ~2^23
+            # the baked-in constants blow the compile-request size (and
+            # waste HBM).  Above the cap, fold in chunks.
+            # CELERITE_TPU_FOLD_CAP overrides (tests exercise the chunk
+            # path on small problems through it).
+            _cap_env = os.environ.get("CELERITE_TPU_FOLD_CAP")
+            if _cap_env:
+                _fold_cap = max(1, int(_cap_env))
+            else:
+                _fold_cap = max(
+                    1, 1 << max(0, 22 - max(n_pts - 1, 1).bit_length())
+                )
+
             def _batched_vog(thetas):
                 """Chain-folded (ll, ok, grad) for a (n, dim) batch —
                 the batching rule of the value_ok_grad primitive; one
-                kernel launch evaluates every chain."""
+                kernel launch evaluates every chain (chunked at
+                _fold_cap chains per launch for very large N)."""
                 axis_size = thetas.shape[0]
                 if not _foldable or axis_size == 1:
                     return jax.lax.map(_value_ok_grad4, thetas)
                 nc = 1 << max(0, int(axis_size) - 1).bit_length()
+                if nc > _fold_cap:
+                    nch = _fold_cap
+                    pad = (-axis_size) % nch
+                    th = (
+                        jnp.concatenate(
+                            [thetas, jnp.broadcast_to(
+                                thetas[:1], (pad,) + thetas.shape[1:]
+                            )]
+                        ) if pad else thetas
+                    )
+                    th = th.reshape(-1, nch, th.shape[-1])
+                    ll, ok, gr = jax.lax.map(_batched_vog, th)
+                    return (
+                        ll.reshape(-1)[:axis_size],
+                        ok.reshape(-1)[:axis_size],
+                        gr.reshape(-1, gr.shape[-1])[:axis_size],
+                    )
                 padn = nc - axis_size
                 th = (
                     jnp.concatenate(

@@ -17,6 +17,11 @@ from . import (  # noqa: F401
     smc,
 )
 from .advi import fit_advi, laplace_fit  # noqa: F401
-from .diagnostics import effective_sample_size, split_rhat, summary  # noqa: F401
-from .nuts import sample_nuts  # noqa: F401
+from .diagnostics import (  # noqa: F401
+    ebfmi,
+    effective_sample_size,
+    split_rhat,
+    summary,
+)
+from .nuts import sample_nuts, sample_nuts_batch  # noqa: F401
 from .smc import sample_smc  # noqa: F401

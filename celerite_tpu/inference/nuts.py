@@ -488,8 +488,9 @@ def _build_segments(
         )
 
     def warmup_segment(data, carry, keys, mass_flags, end_flags):
+        """Returns (carry, per-transition pooled accept stats)."""
         step = lambda c, i: warmup_step(data, c, i)
-        return lax.scan(step, carry, (keys, mass_flags, end_flags))[0]
+        return lax.scan(step, carry, (keys, mass_flags, end_flags))
 
     def sample_segment(data, qs, keys, step_size, inv_mass):
         def sample_step(qs, key):
@@ -519,6 +520,7 @@ def sample_nuts(
     axis_name=None,
     chunk_size=None,
     warmup_max_tree_depth=None,
+    progress=None,
 ):
     """Vmapped multi-chain NUTS with cross-chain window adaptation.
 
@@ -546,6 +548,12 @@ def sample_nuts(
     single chain opening max-depth trees while the step size is still
     miscalibrated stalls the whole batch; capping warmup at 6-8 bounds
     that cost with no effect on the post-warmup kernel.
+
+    ``progress``: live metrics for long runs (requires ``chunk_size``):
+    ``True`` prints one line per chunk (phase, transitions/s,
+    leapfrogs/s, acceptance, divergences, step size); a callable
+    receives the same dict instead.  Metrics are read on the host
+    between device launches — zero cost inside the compiled segments.
     """
     from .adaptation import da_final, window_boundaries
 
@@ -592,7 +600,7 @@ def sample_nuts(
     warm_keys = jax.random.split(k_warm, num_warmup)
 
     if chunk_size is None:
-        carry = warmup_segment(
+        carry, _ = warmup_segment(
             carry, warm_keys, is_mass_window, is_window_end
         )
         qs, da, wf, inv_mass = carry
@@ -610,16 +618,43 @@ def sample_nuts(
         # transitions.  Needed where the runtime bounds single-execution
         # wall-clock (long NUTS programs otherwise hit device deadlines),
         # and the natural place for progress/checkpoint hooks.
+        import time as _time
+
+        def _emit(rec):
+            if callable(progress):
+                progress(rec)
+            elif progress:
+                print(
+                    "[nuts] " + "  ".join(
+                        f"{k}={v}" for k, v in rec.items()
+                    ),
+                    flush=True,
+                )
+
         warm_seg = jax.jit(warmup_segment)
         samp_seg = jax.jit(sample_segment)
         for lo in range(0, num_warmup, chunk_size):
             hi = min(lo + chunk_size, num_warmup)
-            carry = warm_seg(
+            t0 = _time.perf_counter()
+            carry, wacc = warm_seg(
                 carry,
                 warm_keys[lo:hi],
                 is_mass_window[lo:hi],
                 is_window_end[lo:hi],
             )
+            if progress:
+                jax.block_until_ready(carry[0])
+                dt_c = _time.perf_counter() - t0
+                _emit({
+                    "phase": "warmup",
+                    "done": hi,
+                    "total": num_warmup,
+                    "trans/s": round((hi - lo) / dt_c, 2),
+                    "accept": round(float(jnp.mean(wacc)), 3),
+                    "step_size": round(
+                        float(jnp.exp(carry[1].log_step)), 5
+                    ),
+                })
         qs, da, wf, inv_mass = carry
         step_size = da_final(da)
         key, k_samp = jax.random.split(key)
@@ -627,6 +662,7 @@ def sample_nuts(
         chains, accepts, divs, steps_l, energies = [], [], [], [], []
         for lo in range(0, num_samples, chunk_size):
             hi = min(lo + chunk_size, num_samples)
+            t0 = _time.perf_counter()
             qs, (c, a, d, s, e) = samp_seg(
                 qs, samp_keys[lo:hi], step_size, inv_mass
             )
@@ -635,6 +671,22 @@ def sample_nuts(
             divs.append(jnp.sum(d))
             steps_l.append(jnp.sum(s))
             energies.append(e)
+            if progress:
+                jax.block_until_ready(qs)
+                dt_c = _time.perf_counter() - t0
+                _emit({
+                    "phase": "sample",
+                    "done": hi,
+                    "total": num_samples,
+                    "samples/s": round(
+                        n_chains * (hi - lo) / dt_c, 2
+                    ),
+                    "leapfrogs/s": round(
+                        float(steps_l[-1]) / dt_c, 1
+                    ),
+                    "accept": round(float(jnp.mean(a)), 3),
+                    "divergences": int(divs[-1]),
+                })
         chain = jnp.concatenate(chains, axis=0)
         energy = jnp.concatenate(energies, axis=0)
         # Weight by transition count (chunks may be ragged).
@@ -733,7 +785,7 @@ def sample_nuts_batch(
     )
     for lo in range(0, num_warmup, chunk_size):
         hi = min(lo + chunk_size, num_warmup)
-        carry = vwarm(
+        carry, _ = vwarm(
             data_batch, carry, warm_keys[:, lo:hi],
             is_mass_window[lo:hi], is_window_end[lo:hi],
         )

@@ -18,9 +18,16 @@ __all__ = ["map_fit", "minimize"]
 
 
 def minimize(neg_logprob_fn, x0, num_steps=1000, optimizer=None):
-    """Minimize a scalar function with optax; returns (x, trace)."""
+    """Minimize a scalar function with optax; returns (x, trace).
+
+    Honors a fused ``value_and_grad`` attribute on ``neg_logprob_fn``
+    (convention: it returns the value and gradient of the *objective*)
+    — the hand-written gradient kernels' entry point.
+    """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
+
+    vag = getattr(neg_logprob_fn, "value_and_grad", None)
 
     def safe(v):
         return jnp.where(jnp.isfinite(v), v, 1e12)
@@ -28,9 +35,13 @@ def minimize(neg_logprob_fn, x0, num_steps=1000, optimizer=None):
     @jax.jit
     def step(carry, _):
         x, opt_state = carry
-        loss, g = jax.value_and_grad(
-            lambda q: safe(neg_logprob_fn(q))
-        )(x)
+        if vag is None:
+            loss, g = jax.value_and_grad(
+                lambda q: safe(neg_logprob_fn(q))
+            )(x)
+        else:
+            loss, g = vag(x)
+            loss = safe(loss)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         updates, opt_state = optimizer.update(g, opt_state)
         x = optax.apply_updates(x, updates)
@@ -55,9 +66,15 @@ def map_fit(gp, t, y, yerr=1.123e-12, log_prior=None, num_steps=1000,
         t, y, yerr=yerr, log_prior=log_prior, solver=solver
     )
     x0 = jnp.asarray(gp.get_parameter_vector())
+    neg = lambda q: -logprob(q)
+    _vag = getattr(logprob, "value_and_grad", None)
+    if _vag is not None:
+        def _neg_vag(q):
+            v, g = _vag(q)
+            return -v, -g
+        neg.value_and_grad = _neg_vag
     x, trace = minimize(
-        lambda q: -logprob(q), x0, num_steps=num_steps,
-        optimizer=optimizer,
+        neg, x0, num_steps=num_steps, optimizer=optimizer,
     )
     if set_parameters:
         gp.set_parameter_vector(np.asarray(x))

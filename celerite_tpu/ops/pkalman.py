@@ -20,6 +20,14 @@ is a full-width elementwise op over n lanes (the fused4 trick; a
 wastes ~96% of it — measured 475 ms vs the ~30 ms this layout gives at
 N = 1e6, p = 3).
 
+Compile-time note: the ~17 ``associative_scan`` levels each
+instantiate the unrolled (p, p) composition, so the FIRST compile at
+N >= 16384 is minutes-scale on remote-compile runtimes.  Steady state
+is unaffected, and ``celerite_tpu.utils.enable_persistent_cache()``
+makes it a once-per-machine cost (bench rig: cold 4-6 min, warm
+seconds) — call it (or set ``JAX_COMPILATION_CACHE_DIR``) in any
+program that touches ``GP.predict(return_var=True)`` at scale.
+
 Filtering element per step k (model x_k = F_k x_{k-1} + q_k,
 q_k ~ N(0, Q_k); observation y_k = H x_k + r_k, r_k ~ N(0, R_k)):
 

@@ -134,6 +134,34 @@ def gp_log_likelihood(ssm: SSM, resid: jnp.ndarray):
     return ll, ok
 
 
+@f32_matmuls
+def gp_log_likelihood_masked(ssm: SSM, resid, mask, n_valid):
+    """(ll, ok) over a padded series: masked samples are made inert.
+
+    ``mask``: (N,) 1/0 validity; ``n_valid``: true sample count.  Padded
+    rows get U = V = 0, phi = 1, A = 1, resid = 0 — exactly zero
+    contribution to the quadratic form and log-determinant (the fleet
+    container path, data.batched_gp_log_likelihood; reusable for
+    vmapped ragged batches).
+    """
+    m = mask[:, None]
+    ssm = SSM(
+        U=jnp.where(m > 0, ssm.U, 0.0),
+        V=jnp.where(m > 0, ssm.V, 0.0),
+        phi=jnp.where(m > 0, ssm.phi, 1.0),
+        A=jnp.where(mask > 0, ssm.A, 1.0),
+    )
+    resid = jnp.where(mask > 0, resid, 0.0)
+    quad, logdet, min_d = _ll_scan(ssm, resid)
+    dtype = resid.dtype
+    ll = -0.5 * (
+        quad + logdet
+        + jnp.asarray(n_valid, dtype) * jnp.log(2.0 * jnp.pi).astype(dtype)
+    )
+    ok = (min_d > 0) & jnp.isfinite(ll)
+    return jnp.where(ok, ll, -jnp.inf), ok
+
+
 def _shift_down(x):
     """x[n] -> x[n+1] with zero fill at the end (for backward passes)."""
     return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])

@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 from celerite_tpu import GP, terms
 from celerite_tpu.inference import sample_nuts, summary
+from celerite_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()  # one-time compiles cache to disk
 
 
 def main(n=1024, seed=42):

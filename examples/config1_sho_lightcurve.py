@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 from celerite_tpu import GP, terms
 from celerite_tpu.inference import sample_nuts, summary
+from celerite_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()  # one-time compiles cache to disk
 
 
 def simulate_lightcurve(n=700, seed=1):

@@ -21,11 +21,14 @@ import jax.numpy as jnp
 
 from celerite_tpu import GP, terms
 from celerite_tpu.inference import sample_nuts, summary
+from celerite_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()  # one-time compiles cache to disk
 
 
 def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
          chunk_size=None, solver="auto", fast_grad=True, modes=1,
-         warmup_depth=6):
+         warmup_depth=6, progress=False):
     rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 100.0, n))
     yerr = np.full(n, 0.3)
@@ -87,6 +90,7 @@ def main(n=100_000, seed=2, chains=4, warmup=200, samples=200,
         logprob, init, jax.random.PRNGKey(seed),
         num_warmup=warmup, num_samples=samples, max_tree_depth=8,
         chunk_size=chunk_size, warmup_max_tree_depth=warmup_depth,
+        progress=progress,
     )
     dt = time.perf_counter() - t0
     total = chains * samples
@@ -124,8 +128,11 @@ if __name__ == "__main__":
                     help="oscillation SHOTerms (2 -> padded width 12)")
     ap.add_argument("--warmup-depth", type=int, default=6,
                     help="warmup-only tree-depth cap (sampling uses 8)")
+    ap.add_argument("--progress", action="store_true",
+                    help="live per-chunk metrics (needs --chunk)")
     args = ap.parse_args()
     main(n=args.n, chains=args.chains, warmup=args.warmup,
          samples=args.samples, chunk_size=args.chunk,
          solver=args.solver, fast_grad=args.fast_grad,
-         modes=args.modes, warmup_depth=args.warmup_depth)
+         modes=args.modes, warmup_depth=args.warmup_depth,
+         progress=args.progress)

@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 from celerite_tpu import GP, terms
 from celerite_tpu.inference import fit_advi, laplace_fit
+from celerite_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()  # one-time compiles cache to disk
 
 
 def main(n=512, seed=3):

@@ -26,6 +26,9 @@ from celerite_tpu import GP, terms
 from celerite_tpu.data import LightCurveBatch, batched_gp_log_likelihood
 from celerite_tpu.parallel import mesh as mesh_lib
 from celerite_tpu.parallel.sharded import sample_smc_sharded
+from celerite_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()  # one-time compiles cache to disk
 
 
 def make_batch(n_curves=32, seed=4):
@@ -47,12 +50,29 @@ def make_batch(n_curves=32, seed=4):
     return LightCurveBatch.from_ragged(ts, ys, es)
 
 
-def main(n_particles=512, seed=4):
-    batch = make_batch()
+def main(n_particles=512, seed=4, n_curves=32):
+    batch = make_batch(n_curves)
     kernel = terms.SHOTerm(log_S0=0.0, log_Q=1.0, log_omega0=1.0)
 
+    # On TPU the default path is fleet folding: every curve occupies one
+    # virtual lane of the fused4 kernels, so each particle's
+    # fleet-summed likelihood (and the HMC-mutation gradients, through
+    # the kernels' hand-written VJP) costs ONE launch
+    # (data.make_fleet_loglik; benchmarks/fleet.py measures it at 4096
+    # curves).  Off TPU the masked vmapped scan has identical semantics.
+    if jax.default_backend() == "tpu":
+        from celerite_tpu.data import make_fleet_loglik
+
+        fleet = make_fleet_loglik(kernel, batch)
+
+        def per_curve(theta):
+            return fleet(theta)
+    else:
+        def per_curve(theta):
+            return batched_gp_log_likelihood(kernel, theta, batch)
+
     def log_like(theta):
-        lls, oks = batched_gp_log_likelihood(kernel, theta, batch)
+        lls, oks = per_curve(theta)
         total = jnp.sum(jnp.where(oks, lls, -jnp.inf))
         return jnp.where(jnp.isfinite(total), total, -1e12)
 
@@ -89,4 +109,13 @@ def main(n_particles=512, seed=4):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=512)
+    ap.add_argument("--curves", type=int, default=32,
+                    help="fleet size (scale to 4096+ on a chip; "
+                         "benchmarks/fleet.py measures that regime)")
+    ap.add_argument("--seed", type=int, default=4)
+    a = ap.parse_args()
+    main(n_particles=a.particles, seed=a.seed, n_curves=a.curves)

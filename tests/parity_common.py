@@ -155,6 +155,14 @@ def make_config3(n=512, seed=3):
     the reference's a*c >= b*d positivity constraint
     (reference terms.py:446-451).
 
+    The prior bounds log_d to [-0.5, 1.5] (around the true frequency)
+    and log_b to >= -6: the unconstrained posterior is MULTIMODAL in the
+    oscillation frequency (harmonic aliases) and ridge-degenerate as
+    b -> 0, so marginal moments are not reproducible across finite
+    chains — pinning moments of the dominant mode is the well-defined
+    parity statement.  (The multimodal regime is configs[4]'s subject,
+    exercised by the SMC tests.)
+
     Returns (t, yerr, y, logpost, names, theta_truth).
     """
     rng = np.random.default_rng(seed)
@@ -168,8 +176,11 @@ def make_config3(n=512, seed=3):
 
     def logpost(theta):
         log_a, log_b, log_c, log_d = theta
-        if np.any(np.abs(theta) > 12) or (
-            log_a + log_c < log_b + log_d
+        if (
+            np.any(np.abs(theta) > 12)
+            or log_a + log_c < log_b + log_d
+            or not (-0.5 <= log_d <= 1.5)
+            or log_b < -6.0
         ):
             return -np.inf
         Kt = complex_kernel(tau, *theta)

@@ -184,3 +184,71 @@ def test_blocked_matmul_matches_seq():
         np.asarray(seq.matmul(ssm, y)),
         rtol=1e-10, atol=1e-12,
     )
+
+
+@pytest.mark.slow
+def test_cpu_n700_fitmean_default_path_safe():
+    """Environment landmine regression (ROADMAP 2b): jax.grad of the
+    *blocked* solver with an active mean at N=700 heap-corrupts inside
+    XLA:CPU slice-transpose (jaxlib bug; TPU unaffected).  The facade's
+    default path must stay clear of it: solver="auto" below 4096 points
+    routes to the sequential scan, and its gradient at exactly N=700 +
+    fit_mean must be finite and match finite differences.
+
+    The raw blocked repro runs in a THROWAWAY SUBPROCESS (it can
+    corrupt the heap); its status is informational — if it starts
+    passing, the jaxlib bug is fixed upstream and the guard can go.
+    """
+    import subprocess
+    import sys
+
+    import jax
+    from celerite_tpu import GP, terms
+
+    rng = np.random.default_rng(0)
+    n = 700
+    t = np.sort(rng.uniform(0, 30, n))
+    yerr = np.full(n, 0.1)
+    y = np.sin(0.4 * t) + yerr * rng.standard_normal(n)
+
+    gp = GP(
+        terms.SHOTerm(log_S0=0.0, log_Q=0.7, log_omega0=0.5),
+        mean=0.1, fit_mean=True,
+    )
+    gp.compute(t, yerr)
+    f = gp.build_loglik(t, y, yerr, solver="auto")  # -> seq at N<4096
+    theta = jnp.asarray(gp.get_parameter_vector())
+    ll, g = jax.value_and_grad(lambda q: f(q)[0])(theta)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # finite-difference check of the mean-parameter slot
+    eps = 1e-6
+    e = jnp.zeros_like(theta).at[-1].set(eps)
+    fd = (float(f(theta + e)[0]) - float(f(theta - e)[0])) / (2 * eps)
+    np.testing.assert_allclose(float(g[-1]), fd, rtol=1e-5, atol=1e-7)
+
+    # Informational canary for the raw blocked repro.
+    repro = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True);\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from celerite_tpu import GP, terms\n"
+        "rng = np.random.default_rng(0); n = 700\n"
+        "t = np.sort(rng.uniform(0, 30, n)); yerr = np.full(n, 0.1)\n"
+        "y = np.sin(0.4*t) + yerr*rng.standard_normal(n)\n"
+        "gp = GP(terms.SHOTerm(log_S0=0.0, log_Q=0.7, log_omega0=0.5),"
+        " mean=0.1, fit_mean=True)\n"
+        "gp.compute(t, yerr)\n"
+        "f = gp.build_loglik(t, y, yerr, solver='blocked')\n"
+        "th = jnp.asarray(gp.get_parameter_vector())\n"
+        "g = jax.grad(lambda q: f(q)[0])(th)\n"
+        "print('BLOCKED_GRAD_OK', bool(np.all(np.isfinite(np.asarray(g)))))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", repro], capture_output=True, text=True,
+        timeout=300,
+    )
+    status = (
+        "clean" if "BLOCKED_GRAD_OK True" in proc.stdout
+        else f"rc={proc.returncode}"
+    )
+    print(f"blocked@N=700 canary: {status}")

@@ -470,3 +470,44 @@ def test_fleet_particle_batch():
         g1 = jax.grad(tot1)(cfs[k])
         np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(g1),
                                    rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_fold_cap_chunked_matches_direct(monkeypatch):
+    """The chunked fold path (batch > CELERITE_TPU_FOLD_CAP) must return
+    exactly the same (ll, ok, grad) as the direct folded batch — guards
+    the large-N x large-batch constant-size limit (round-3 fix for the
+    remote-compile 413 at n_chain * N > 2^23)."""
+    import jax
+    from celerite_tpu import GP, terms
+
+    rng = np.random.default_rng(0)
+    n = 512
+    t = np.sort(rng.uniform(0, 20, n))
+    yerr = np.full(n, 0.1)
+    y = np.sin(0.3 * t) + yerr * rng.standard_normal(n)
+    gp = GP(terms.SHOTerm(log_S0=0.1, log_Q=0.8, log_omega0=0.6))
+    gp.compute(t, yerr)
+    theta = jnp.asarray(gp.get_parameter_vector())
+    ths = theta[None, :] + 0.05 * jnp.asarray(
+        rng.standard_normal((6, 3))
+    )
+
+    # Exercise the real fold machinery off-TPU (interpret mode).
+    monkeypatch.setenv("CELERITE_TPU_FORCE_FOLD", "1")
+
+    def batched(cap):
+        if cap:
+            monkeypatch.setenv("CELERITE_TPU_FOLD_CAP", cap)
+        else:
+            monkeypatch.delenv("CELERITE_TPU_FOLD_CAP", raising=False)
+        f = gp.build_loglik(t, y, yerr, solver="fused")
+        return jax.jit(lambda th: jax.vmap(f.value_ok_grad)(th))(ths)
+
+    ll_d, ok_d, g_d = batched(None)
+    ll_c, ok_c, g_c = batched("2")
+    np.testing.assert_allclose(np.asarray(ll_c), np.asarray(ll_d),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_d))
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d),
+                               rtol=1e-10, atol=1e-12)

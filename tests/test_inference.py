@@ -530,3 +530,27 @@ def test_advi_gp_fused_closure():
     elbo = np.asarray(res.elbo_trace)
     assert np.isfinite(elbo[-10:]).all()
     assert elbo[-10:].mean() > elbo[:10].mean()
+
+
+def test_nuts_progress_metrics():
+    """Live metrics (SURVEY.md 5.5): chunked runs emit per-chunk records
+    with throughput/acceptance/divergence fields, without perturbing
+    results."""
+    init = jnp.asarray(
+        np.random.default_rng(9).standard_normal((4, 2))
+    )
+    lines = []
+    chain, _ = sample_nuts(
+        gauss_logprob, init, jax.random.PRNGKey(2), num_warmup=60,
+        num_samples=60, chunk_size=30, progress=lines.append,
+    )
+    chain2, _ = sample_nuts(
+        gauss_logprob, init, jax.random.PRNGKey(2), num_warmup=60,
+        num_samples=60, chunk_size=30,
+    )
+    np.testing.assert_array_equal(np.asarray(chain), np.asarray(chain2))
+    phases = [r["phase"] for r in lines]
+    assert phases == ["warmup", "warmup", "sample", "sample"]
+    assert all("accept" in r for r in lines)
+    assert all("samples/s" in r for r in lines if r["phase"] == "sample")
+    assert all("step_size" in r for r in lines if r["phase"] == "warmup")

@@ -292,3 +292,36 @@ def test_predict_parallel_matches_sequential():
         )
     )
     np.testing.assert_allclose(m_par, m_seq, rtol=1e-10, atol=1e-12)
+
+
+def test_masked_ll_padding_inert():
+    """seq.gp_log_likelihood_masked: padded tail contributes exactly
+    nothing (the fleet-container contract, data.py)."""
+    import jax.numpy as jnp
+    from celerite_tpu import terms
+    from celerite_tpu.ops import seq
+    from celerite_tpu.ops.lower import Coefficients, lower
+
+    rng = np.random.default_rng(0)
+    n, npad = 120, 160
+    t = np.sort(rng.uniform(0, 20, n))
+    y = rng.standard_normal(n)
+    d = np.full(n, 0.04)
+    k = terms.SHOTerm(log_S0=0.0, log_Q=1.0, log_omega0=1.0)
+    cf = Coefficients(
+        *[jnp.asarray(c) for c in k.coefficients], jitter=jnp.zeros(())
+    )
+    ll_ref, ok = seq.gp_log_likelihood(
+        lower(cf, jnp.asarray(t), jnp.asarray(d)), jnp.asarray(y)
+    )
+    assert bool(ok)
+    tp = np.concatenate([t, np.full(npad - n, t[-1])])
+    yp = np.concatenate([y, rng.standard_normal(npad - n)])
+    dp = np.concatenate([d, np.ones(npad - n)])
+    mask = np.concatenate([np.ones(n), np.zeros(npad - n)])
+    llm, okm = seq.gp_log_likelihood_masked(
+        lower(cf, jnp.asarray(tp), jnp.asarray(dp)),
+        jnp.asarray(yp) * jnp.asarray(mask), jnp.asarray(mask), n,
+    )
+    assert bool(okm)
+    np.testing.assert_allclose(float(llm), float(ll_ref), rtol=1e-12)

@@ -202,3 +202,42 @@ def test_check_parameters():
         log_a=0.0, log_b=2.0, log_c=0.0, log_d=2.0, quiet=True
     )
     assert not bad.check_parameters()
+
+
+def test_custom_term_subclass():
+    """User terms by subclassing (reference docs/python/kernel.rst:44-79):
+    a custom Term with get_real_coefficients works through compute /
+    log_likelihood / build_loglik / grad."""
+    import jax
+
+    class MyTerm(terms.Term):
+        parameter_names = ("log_a", "log_b")
+
+        def get_real_coefficients(self, params):
+            log_a, log_b = params
+            return (jnp.exp(log_a), jnp.exp(log_b))
+
+    k = MyTerm(log_a=0.1, log_b=-0.3)
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 10, 200))
+    yerr = 0.1 * np.ones_like(t)
+    from celerite_tpu import GP
+
+    gp = GP(k)
+    gp.compute(t, yerr)
+    y = np.asarray(gp.sample(seed=1))
+    tau = np.abs(t[:, None] - t[None, :])
+    K = np.exp(0.1) * np.exp(-np.exp(-0.3) * tau)
+    K[np.diag_indices_from(K)] += yerr**2
+    _, ld = np.linalg.slogdet(K)
+    al = np.linalg.solve(K, y)
+    ref = -0.5 * (y @ al + ld + len(t) * np.log(2 * np.pi))
+    np.testing.assert_allclose(float(gp.log_likelihood(y)), ref,
+                               rtol=1e-10)
+    f = gp.build_loglik(t, y, yerr)
+    th = jnp.asarray(gp.get_parameter_vector())
+    ll, ok = f(th)
+    assert bool(ok)
+    np.testing.assert_allclose(float(ll), ref, rtol=1e-10)
+    g = jax.grad(lambda q: f(q)[0])(th)
+    assert np.all(np.isfinite(np.asarray(g)))

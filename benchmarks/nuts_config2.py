@@ -36,16 +36,19 @@ def main():
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--samples", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--target-accept", type=float, default=0.8)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     from celerite_tpu import GP, terms
     from celerite_tpu.inference.nuts import _build_segments
-    from celerite_tpu.inference.adaptation import da_final, \
+    from celerite_tpu.inference.adaptation import (
+        da_final,
+        window_boundaries,
+    )
     from celerite_tpu.utils import enable_persistent_cache
 
     enable_persistent_cache()  # one-time compiles cache to disk
-        window_boundaries
     from celerite_tpu.ops.lower import Coefficients
     from celerite_tpu.ops.smoother import sample_prior
 
@@ -86,7 +89,8 @@ def main():
     _vag = logprob.value_and_grad
     _lpd.value_and_grad = lambda data, th: _vag(th)
     init_carry, warm_seg, samp_seg, _, _ = _build_segments(
-        _lpd, chains, dim, dtype, 8, 0.8, warmup_max_tree_depth=6,
+        _lpd, chains, dim, dtype, 8, args.target_accept,
+        warmup_max_tree_depth=6,
     )
     warm = jax.jit(
         lambda c, k, mf, ef: warm_seg(None, c, k, mf, ef)
@@ -178,6 +182,7 @@ def main():
         "n": n,
         "chains": chains,
         "dim": dim,
+        "target_accept": args.target_accept,
         "warmup_wall_s": round(t_warm, 2),
         "sampling_wall_s": round(t_samp, 2),
         "compile_wall_s": round(t_compile_warm + t_compile_samp, 2),

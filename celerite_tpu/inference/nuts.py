@@ -19,6 +19,7 @@ momenta), so momentum sums compose across doublings without sign fixups.
 
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,28 @@ from jax import lax
 
 __all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts",
            "sample_nuts_batch", "find_reasonable_step_size"]
+
+# Jitted warmup/sample segments keyed by (logprob_fn, static config).
+# ``sample_nuts`` rebuilds its segment closures on every call; without
+# this cache each call re-traces and re-compiles them (minutes-scale on
+# TPU for large-N kernels).  Keying on the *user's* logprob object means
+# repeated calls with the same held logprob (e.g. a ``build_logprob``
+# result) hit the jit cache; a logprob rebuilt per call still re-traces,
+# which is unavoidable (its closure constants differ).
+_segment_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_segments(logprob_fn, cfg, builder):
+    try:
+        per_fn = _segment_cache.get(logprob_fn)
+        if per_fn is None:
+            per_fn = {}
+            _segment_cache[logprob_fn] = per_fn
+    except TypeError:  # not weak-referenceable; build fresh
+        return builder()
+    if cfg not in per_fn:
+        per_fn[cfg] = builder()
+    return per_fn[cfg]
 
 
 class NUTSInfo(NamedTuple):
@@ -561,23 +584,38 @@ def sample_nuts(
     n_chains, dim = init_params.shape
     dtype = init_params.dtype
 
-    _lpd = lambda data, th: logprob_fn(th)
-    _vag = getattr(logprob_fn, "value_and_grad", None)
-    if _vag is not None:
-        _lpd.value_and_grad = lambda data, th: _vag(th)
-    init_carry, warm_seg_fn, samp_seg_fn, pooled_mean, pooled_sum = (
-        _build_segments(
-            _lpd,
-            n_chains, dim, dtype, max_tree_depth, target_accept,
-            axis_name,
-            warmup_max_tree_depth=warmup_max_tree_depth,
+    def _make_segments():
+        _lpd = lambda data, th: logprob_fn(th)
+        _vag = getattr(logprob_fn, "value_and_grad", None)
+        if _vag is not None:
+            _lpd.value_and_grad = lambda data, th: _vag(th)
+        init_carry, warm_seg_fn, samp_seg_fn, pooled_mean, pooled_sum = (
+            _build_segments(
+                _lpd,
+                n_chains, dim, dtype, max_tree_depth, target_accept,
+                axis_name,
+                warmup_max_tree_depth=warmup_max_tree_depth,
+            )
         )
+        warmup_segment = jax.jit(
+            lambda carry, keys, mf, ef: warm_seg_fn(
+                None, carry, keys, mf, ef
+            )
+        )
+        sample_segment = jax.jit(
+            lambda qs, keys, eps, im: samp_seg_fn(
+                None, qs, keys, eps, im
+            )
+        )
+        return (init_carry, warmup_segment, sample_segment, pooled_mean,
+                pooled_sum)
+
+    cfg = (
+        n_chains, dim, jnp.dtype(dtype).name, max_tree_depth,
+        float(target_accept), axis_name, warmup_max_tree_depth,
     )
-    warmup_segment = lambda carry, keys, mf, ef: warm_seg_fn(
-        None, carry, keys, mf, ef
-    )
-    sample_segment = lambda qs, keys, eps, im: samp_seg_fn(
-        None, qs, keys, eps, im
+    init_carry, warmup_segment, sample_segment, pooled_mean, pooled_sum = (
+        _cached_segments(logprob_fn, cfg, _make_segments)
     )
 
     is_mass_window, is_window_end = window_boundaries(num_warmup)
@@ -631,8 +669,8 @@ def sample_nuts(
                     flush=True,
                 )
 
-        warm_seg = jax.jit(warmup_segment)
-        samp_seg = jax.jit(sample_segment)
+        warm_seg = warmup_segment  # already jitted (cached across calls)
+        samp_seg = sample_segment
         for lo in range(0, num_warmup, chunk_size):
             hi = min(lo + chunk_size, num_warmup)
             t0 = _time.perf_counter()
@@ -768,12 +806,25 @@ def sample_nuts_batch(
 
         return jax.vmap(one)(data_batch, init_params, keys)
 
-    init_carry, warm_seg, samp_seg, _, _ = _build_segments(
-        logprob_fn, n_chains, dim, dtype, max_tree_depth, target_accept,
-        warmup_max_tree_depth=warmup_max_tree_depth,
+    def _make_batch_segments():
+        init_carry, warm_seg, samp_seg, _, _ = _build_segments(
+            logprob_fn, n_chains, dim, dtype, max_tree_depth,
+            target_accept,
+            warmup_max_tree_depth=warmup_max_tree_depth,
+        )
+        vwarm = jax.jit(
+            jax.vmap(warm_seg, in_axes=(0, 0, 0, None, None))
+        )
+        vsamp = jax.jit(jax.vmap(samp_seg, in_axes=(0, 0, 0, 0, 0)))
+        return init_carry, vwarm, vsamp
+
+    cfg = (
+        "batch", n_chains, dim, jnp.dtype(dtype).name, max_tree_depth,
+        float(target_accept), warmup_max_tree_depth,
     )
-    vwarm = jax.jit(jax.vmap(warm_seg, in_axes=(0, 0, 0, None, None)))
-    vsamp = jax.jit(jax.vmap(samp_seg, in_axes=(0, 0, 0, 0, 0)))
+    init_carry, vwarm, vsamp = _cached_segments(
+        logprob_fn, cfg, _make_batch_segments
+    )
 
     is_mass_window, is_window_end = window_boundaries(num_warmup)
     key, k_warm, k_samp = jax.random.split(key, 3)

@@ -554,3 +554,34 @@ def test_nuts_progress_metrics():
     assert all("accept" in r for r in lines)
     assert all("samples/s" in r for r in lines if r["phase"] == "sample")
     assert all("step_size" in r for r in lines if r["phase"] == "warmup")
+
+
+def test_sample_nuts_no_retrace_on_repeat_call():
+    """Repeated sample_nuts calls with the same held logprob object reuse
+    the cached jitted segments instead of re-tracing/re-compiling
+    (ROADMAP: long-lived services re-jitted per call)."""
+    traces = {"n": 0}
+
+    def lp(x):
+        traces["n"] += 1
+        d = x - jnp.asarray(MU)
+        return -0.5 * d @ jnp.asarray(PREC) @ d
+
+    init = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 2))
+    )
+    chain1, _ = sample_nuts(
+        lp, init, jax.random.PRNGKey(0), num_warmup=20, num_samples=20
+    )
+    n_first = traces["n"]
+    assert n_first > 0
+    chain2, _ = sample_nuts(
+        lp, init, jax.random.PRNGKey(7), num_warmup=20, num_samples=20
+    )
+    assert traces["n"] == n_first  # no re-trace on the second call
+    # Different static config still works (fresh cache entry).
+    sample_nuts(
+        lp, init, jax.random.PRNGKey(1), num_warmup=20, num_samples=20,
+        max_tree_depth=6,
+    )
+    assert traces["n"] > n_first

@@ -924,11 +924,12 @@ class GP(ModelSet):
                 jitter=jnp.asarray(self.kernel.jitter),
             )
             if _sm.realize(coeffs) is not None:
-                # Large merged grids on TPU use the temporal-parallel
-                # (associative-scan) smoother: the sequential lax.scan
-                # pays ~1 us launch latency per step (seconds at 1e6);
-                # the parallel one is log-depth wide batched ops
-                # (18.6 s -> 0.11 s at N = 1e6 on one v5e chip).
+                # Large merged grids on TPU use the two-level blocked
+                # Kalman/RTS engine: the sequential lax.scan pays ~1 us
+                # launch latency per step (seconds at 1e6); the blocked
+                # one runs short within-block scans over wide batches
+                # plus a log-depth cross-block composition
+                # (ops/pkalman.blocked_filter_smoother).
                 if (
                     jax.default_backend() == "tpu"
                     and len(self._t) + len(xs) >= 16384

@@ -20,13 +20,16 @@ is a full-width elementwise op over n lanes (the fused4 trick; a
 wastes ~96% of it — measured 475 ms vs the ~30 ms this layout gives at
 N = 1e6, p = 3).
 
-Compile-time note: the ~17 ``associative_scan`` levels each
-instantiate the unrolled (p, p) composition, so the FIRST compile at
-N >= 16384 is minutes-scale on remote-compile runtimes.  Steady state
-is unaffected, and ``celerite_tpu.utils.enable_persistent_cache()``
-makes it a once-per-machine cost (bench rig: cold 4-6 min, warm
-seconds) — call it (or set ``JAX_COMPILATION_CACHE_DIR``) in any
-program that touches ``GP.predict(return_var=True)`` at scale.
+Compile-time note: the flat ``associative_scan`` variant
+(``parallel_filter_smoother``) instantiates the unrolled (p, p)
+composition at ~2 log2(N) scan levels, so its FIRST compile at
+N >= 16384 is minutes-scale on remote-compile runtimes.  The default
+engine is therefore the two-level ``blocked_filter_smoother``: the
+within-block sequential scans compile their bodies ONCE and only the
+~2 log2(B) cross-block levels instantiate the composition — first
+compiles in seconds, identical results.  The flat variant stays for
+comparison; ``celerite_tpu.utils.enable_persistent_cache()`` (or
+``JAX_COMPILATION_CACHE_DIR``) still helps any cold start.
 
 Filtering element per step k (model x_k = F_k x_{k-1} + q_k,
 q_k ~ N(0, Q_k); observation y_k = H x_k + r_k, r_k ~ N(0, R_k)):
@@ -70,13 +73,18 @@ in float64, tests/test_pkalman.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .precision import f32_matmuls
-from .smoother import realize
+from .smoother import realize, _transitions
 
-__all__ = ["parallel_filter_smoother", "predict_var_parallel"]
+__all__ = [
+    "parallel_filter_smoother",
+    "blocked_filter_smoother",
+    "predict_var_parallel",
+]
 
 
 def _mm(x, y):
@@ -310,8 +318,290 @@ def parallel_filter_smoother(real_, dt, yv, rv, obs):
     return mean, var, ll
 
 
-def predict_var_parallel(coeffs, t_train, diag, resid, t_test):
-    """Parallel-scan twin of ops/smoother.predict_var (same contract)."""
+def _default_kalman_block(n):
+    """Within-block sequential length L: short enough that the L-step
+    scans stay cheap, long enough that B = n/L fills the vector lanes."""
+    if n <= 4096:
+        return max(16, n // 16)
+    return 256
+
+
+def blocked_filter_smoother(real_, dt, yv, rv, obs, block_size=None):
+    """Two-level (blocked) Kalman filter + RTS smoother.
+
+    Same contract and results as :func:`parallel_filter_smoother`, but
+    instead of one associative scan over all N steps (~2 log2(N) levels,
+    each instantiating the unrolled (p, p) composition — the minutes-
+    scale first compile noted above), the N axis splits into B blocks of
+    L steps:
+
+    1. a within-block sequential scan accumulates each block's
+       cumulative filtering element (the scan BODY compiles once;
+       per-step cost is O(p^2) — the step's information matrix is
+       rank-1, so every (I + C J)^-1 is a Sherman-Morrison update);
+    2. an associative scan composes the B block elements (log2(B)
+       levels of the full composition);
+    3. a second within-block scan runs the plain Kalman recursion from
+       each block's incoming filtered moments;
+    4-6. the same three-pass structure, mirrored, for the RTS smoother
+       (per-step smoothing gains are computed vectorized over all N).
+
+    This is the ops/blocked.py move applied to the Gauss-Markov
+    realization.  Exact: agrees with the sequential filter/smoother to
+    roundoff (tests/test_pkalman.py).
+
+    The whole thing runs as ONE jitted program (static: realization
+    widths and block size), so repeated calls at the same shapes reuse
+    the compiled executable — eager per-op dispatch through a remote
+    runtime costs seconds per call otherwise.
+    """
+    n0 = dt.shape[0]
+    L = int(block_size or _default_kalman_block(n0))
+    return _blocked_fs_jit(
+        jnp.asarray(real_.c_real), jnp.asarray(real_.c_comp),
+        jnp.asarray(real_.d_comp), jnp.asarray(real_.Pinf),
+        jnp.asarray(real_.H),
+        jnp.asarray(dt), jnp.asarray(yv), jnp.asarray(rv),
+        jnp.asarray(obs),
+        jr=int(real_.jr), jc=int(real_.jc), L=L,
+    )
+
+
+from functools import partial as _partial
+from types import SimpleNamespace as _NS
+
+
+@_partial(jax.jit, static_argnames=("jr", "jc", "L"))
+def _blocked_fs_jit(c_real, c_comp, d_comp, Pinf, H, dt, yv, rv, obs,
+                    *, jr, jc, L):
+    real_ = _NS(p=jr + 2 * jc, jr=jr, jc=jc, c_real=c_real,
+                c_comp=c_comp, d_comp=d_comp, Pinf=Pinf, H=H)
+    return _blocked_fs_impl(real_, dt, yv, rv, obs, L)
+
+
+@f32_matmuls
+def _blocked_fs_impl(real_, dt, yv, rv, obs, L):
+    """Lane-layout (p, p, B) implementation — every per-step op inside
+    the within-block scans is a full-width vector op over the B block
+    lanes (a (B, p, p) layout puts the tiny (p, p) dims on the vector
+    tile and wastes ~96% of it; measured 530 ms vs ~30 ms at N = 1e6,
+    p = 2 on one v5e chip)."""
+    dtype = yv.dtype
+    n0 = dt.shape[0]
+    p = real_.p
+    b = -(-n0 // L)
+    padn = b * L - n0
+    if padn:
+        # Inert steps: dt=0 (F=I, Q=0), unobserved.
+        dt = jnp.concatenate([dt, jnp.zeros((padn,), dt.dtype)])
+        yv = jnp.concatenate([yv, jnp.zeros((padn,), dtype)])
+        rv = jnp.concatenate([rv, jnp.ones((padn,), dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros((padn,), obs.dtype)])
+    n = b * L
+
+    Pinf = jnp.asarray(real_.Pinf, dtype)  # (p, p)
+    Hv = jnp.asarray(real_.H, dtype)  # (p,)
+    eye3 = _eye_bcast(p, n, dtype)
+    Pinf3 = jnp.broadcast_to(Pinf[:, :, None], (p, p, n))
+
+    # Per-step quantities, lane layout (time axis LAST).
+    F = _transitions_lanes(real_, jnp.asarray(dt, dtype))  # (p, p, n)
+    Q = Pinf3 - _mm(_mm(F, Pinf3), _tr(F))
+    Hn = jnp.broadcast_to(Hv[:, None], (p, n))
+    u = _mv(_tr(F), Hn)  # F^T H, (p, n)
+    qh = _mv(Q, Hn)  # Q H, (p, n)
+    s = jnp.sum(qh * Hn, axis=0) + rv  # (n,)
+    K = qh / s[None, :]
+    o = jnp.asarray(obs, dtype)
+
+    # (.., n) -> (L, .., B): step j of block k lives at index k*L + j.
+    def blkT(x):
+        x = x.reshape(x.shape[:-1] + (b, L))
+        return jnp.moveaxis(x, -1, 0)  # (L, .., B)
+
+    FL, QL, uL, qhL, sL, KL, yL, rL, oL = map(
+        blkT, (F, Q, u, qh, s, K, yv, rv, o)
+    )
+
+    eyeB = _eye_bcast(p, b, dtype)
+    zvB = jnp.zeros((p, b), dtype)
+    zmB = jnp.zeros((p, p, b), dtype)
+
+    # ---- pass 1: per-block cumulative filtering elements -------------------
+    # Carry (A, b, C, eta, J) over the B lanes; each step composes one
+    # rank-1-information element via Sherman-Morrison (O(p^2) lane ops
+    # plus three unrolled (p, p) products).
+    def p1_step(carry, inp):
+        Ac, bc, Cc, ec, Jc = carry
+        Fn, un, qhn, sn, Kn, yn, on, Qn = inp
+        Cu = _mv(Cc, un)  # (p, B)
+        f = on / (sn + on * jnp.sum(un * Cu, axis=0))  # (B,)
+        uA = jnp.sum(un[:, None, :] * Ac, axis=0)  # u^T A, (p, B)
+        A_mid = Ac - Cu[:, None, :] * (uA * f)[None, :, :]
+        bz = bc + Cu * (on * yn / sn)
+        b_mid = bz - Cu * (jnp.sum(un * bz, axis=0) * f)
+        C_mid = Cc - Cu[:, None, :] * (Cu * f)[None, :, :]
+        # A_n X = F X - o K (u^T X)   (A_n = (I - o K H) F).
+        FA = _mm(Fn, A_mid)
+        uAm = jnp.sum(un[:, None, :] * A_mid, axis=0)
+        Anew = FA - Kn[:, None, :] * (on * uAm)[None, :, :]
+        Fb_ = _mv(Fn, b_mid)
+        bnew = Fb_ - Kn * (on * jnp.sum(un * b_mid, axis=0)) \
+            + Kn * (on * yn)
+        Y = _mm(Fn, C_mid)
+        uCm = jnp.sum(un[:, None, :] * C_mid, axis=0)
+        Y = Y - Kn[:, None, :] * (on * uCm)[None, :, :]
+        Yt = _tr(Y)
+        Z = _mm(Fn, Yt)
+        uYt = jnp.sum(un[:, None, :] * Yt, axis=0)
+        Z = Z - Kn[:, None, :] * (on * uYt)[None, :, :]
+        Cnew = _tr(Z) + Qn - Kn[:, None, :] * (on * qhn)[None, :, :]
+        Au = jnp.sum(Ac * un[:, None, :], axis=0)  # A^T u, (p, B)
+        enew = ec + Au * ((yn - jnp.sum(un * bc, axis=0)) * f)
+        Jnew = Jc + Au[:, None, :] * (Au * f)[None, :, :]
+        return (Anew, bnew, Cnew, enew, Jnew), None
+
+    init1 = (eyeB, zvB, zmB, zvB, zmB)
+    (Ae, be, Ce, ee, Je), _ = lax.scan(
+        p1_step, init1, (FL, uL, qhL, sL, KL, yL, oL, QL)
+    )
+
+    # ---- cross-block prefix (prior prepended) -------------------------------
+    elems = (
+        jnp.concatenate([jnp.zeros((p, p, 1), dtype), Ae], axis=-1),
+        jnp.concatenate(
+            [jnp.zeros((p, 1, 1), dtype), be[:, None, :]], axis=-1
+        ),
+        jnp.concatenate([Pinf[:, :, None], Ce], axis=-1),
+        jnp.concatenate(
+            [jnp.zeros((p, 1, 1), dtype), ee[:, None, :]], axis=-1
+        ),
+        jnp.concatenate([jnp.zeros((p, p, 1), dtype), Je], axis=-1),
+    )
+    pref = lax.associative_scan(_compose, elems, axis=2)
+    # Incoming filtered moments for block k = prefix over [prior,
+    # blocks 0..k-1] = inclusive prefix at index k.
+    m0 = pref[1][:, 0, :b]  # (p, B)
+    P0 = pref[2][..., :b]  # (p, p, B)
+
+    # ---- pass 2: plain Kalman recursion from each block's incoming ---------
+    def p2_step(carry, inp):
+        m, P = carry
+        Fn, Qn, yn, rn, on = inp
+        mp = _mv(Fn, m)
+        Pp = _mm(_mm(Fn, P), _tr(Fn)) + Qn
+        HB = jnp.broadcast_to(Hv[:, None], (p, b))
+        Ph = _mv(Pp, HB)
+        sn = jnp.sum(HB * Ph, axis=0) + rn
+        k = Ph / sn[None, :]
+        innov = yn - jnp.sum(HB * mp, axis=0)
+        m_new = mp + k * (on * innov)
+        P_new = Pp - k[:, None, :] * (on * sn * k)[None, :, :]
+        ll = -0.5 * (
+            innov**2 / sn + jnp.log(sn)
+            + jnp.log(2 * jnp.pi).astype(dtype)
+        )
+        return (m_new, P_new), (m_new, P_new, mp, Pp, on * ll)
+
+    _, (mfL, PfL, mpL, PpL, llL) = lax.scan(
+        p2_step, (m0, P0), (FL, QL, yL, rL, oL)
+    )
+    ll = jnp.sum(llL)
+
+    # (L, .., B) -> (.., n)
+    def unblkT(x):
+        x = jnp.moveaxis(x, 0, -1)  # (.., B, L)
+        return x.reshape(x.shape[:-2] + (n,))
+
+    mf, Pf, mp, Pp = map(unblkT, (mfL, PfL, mpL, PpL))
+
+    # ---- smoothing elements, vectorized over all n (lane layout) -----------
+    F_next = jnp.concatenate([F[..., 1:], eye3[..., :1]], axis=-1)
+    mp_next = jnp.concatenate([mp[:, 1:], mp[:, -1:]], axis=-1)
+    Pp_next = jnp.concatenate([Pp[..., 1:], Pp[..., -1:]], axis=-1)
+    tr_pp = jnp.sum(
+        jnp.where(
+            lax.broadcasted_iota(jnp.int32, (p, p, n), 0)
+            == lax.broadcasted_iota(jnp.int32, (p, p, n), 1),
+            Pp_next,
+            jnp.zeros((), dtype),
+        ),
+        axis=(0, 1),
+    )
+    Pp_r = Pp_next + 1e-12 * tr_pp[None, None, :] * eye3
+    PfFT = _mm(Pf, _tr(F_next))
+    G = _tr(_solve(_tr(Pp_r), _tr(PfFT)))
+    g = mf - _mv(G, mp_next)
+    Lm = Pf - _mm(_mm(G, Pp_next), _tr(G))
+    # Absorbing element at the last REAL index (E=0, g=mf, L=Pf);
+    # padded steps beyond it are inert (their output is discarded).
+    last1 = jnp.zeros((1, n), dtype).at[:, n0 - 1].set(1.0)
+    last2 = last1[None, :, :]
+    E_s = jnp.where(last2 > 0, jnp.zeros_like(G), G)
+    g_s = jnp.where(last1 > 0, mf, g)
+    L_s = jnp.where(last2 > 0, Pf, Lm)
+
+    EL, gL, LL = map(blkT, (E_s, g_s, L_s))
+
+    # ---- pass S1: per-block cumulative smoothing elements -------------------
+    def s1_step(carry, inp):
+        Ec, gc, Lc = carry
+        En, gn, Ln = inp
+        return (
+            _mm(En, Ec),
+            _mv(En, gc) + gn,
+            _mm(_mm(En, Lc), _tr(En)) + Ln,
+        ), None
+
+    (Se, Sg, Sl), _ = lax.scan(
+        s1_step, (eyeB, zvB, zmB), (EL, gL, LL), reverse=True
+    )
+
+    # ---- cross-block reverse scan -> incoming right states ------------------
+    sm = lax.associative_scan(
+        lambda x, y: _compose_smooth(y, x),
+        (Se, Sg[:, None, :], Sl),
+        reverse=True, axis=2,
+    )
+    # Incoming for block k = (g, L) of the suffix over blocks k+1..;
+    # zeros for the last block (its absorbing element ignores them).
+    ms_in = jnp.concatenate(
+        [sm[1][:, 0, 1:], jnp.zeros((p, 1), dtype)], axis=-1
+    )
+    Ps_in = jnp.concatenate(
+        [sm[2][..., 1:], jnp.zeros((p, p, 1), dtype)], axis=-1
+    )
+
+    # ---- pass S2: apply per-step elements from the right ---------------------
+    def s2_step(carry, inp):
+        msn, Psn = carry
+        En, gn, Ln = inp
+        ms = _mv(En, msn) + gn
+        Ps = _mm(_mm(En, Psn), _tr(En)) + Ln
+        return (ms, Ps), (ms, Ps)
+
+    _, (msL, PsL) = lax.scan(
+        s2_step, (ms_in, Ps_in), (EL, gL, LL), reverse=True
+    )
+    ms = unblkT(msL)[:, :n0]
+    Ps = unblkT(PsL)[..., :n0]
+
+    mean = jnp.sum(ms * Hv[:, None], axis=0)
+    var = jnp.sum(
+        Ps * Hv[:, None, None] * Hv[None, :, None], axis=(0, 1)
+    )
+    return mean, var, ll
+
+
+def predict_var_parallel(coeffs, t_train, diag, resid, t_test,
+                         block_size=None):
+    """Parallel twin of ops/smoother.predict_var (same contract).
+
+    Uses the two-level blocked filter/smoother — identical results to
+    the sequential path, log-depth cross-block composition, and scan
+    bodies that compile once (the flat associative-scan variant's first
+    compile was minutes-scale; see blocked_filter_smoother).
+    """
     import numpy as np
 
     real_ = realize(coeffs)
@@ -340,12 +630,13 @@ def predict_var_parallel(coeffs, t_train, diag, resid, t_test):
     rv[train_mask] = diag[src_s[train_mask]] + jitter
 
     dt = np.concatenate([[0.0], np.diff(t_s)])
-    mean_s, var_s, _ = parallel_filter_smoother(
+    mean_s, var_s, _ = blocked_filter_smoother(
         real_,
         jnp.asarray(dt),
         jnp.asarray(yv),
         jnp.asarray(rv),
         jnp.asarray(obs_np),
+        block_size=block_size,
     )
     mean_s = np.asarray(mean_s)
     var_s = np.asarray(var_s)

@@ -94,3 +94,46 @@ def test_predict_var_parallel_matches_sequential():
     np.testing.assert_allclose(mu_p, mu_s, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(var_p, var_s, rtol=1e-9, atol=1e-11)
     assert np.all(var_p >= 0)
+
+
+@pytest.mark.parametrize("n,L", [(257, None), (1024, 64), (1000, 128),
+                                 (64, 16)])
+def test_blocked_matches_sequential(n, L):
+    """Two-level blocked filter/smoother == sequential, to roundoff,
+    across ragged N, explicit block sizes, and missing data."""
+    real_ = smoother.realize(_mk_coeffs())
+    dt, yv, rv, obs = _grid(n=n, seed=n)
+    args = [jnp.asarray(x) for x in (dt, yv, rv, obs)]
+    m_seq, v_seq, ll_seq = smoother._filter_smoother(real_, *args)
+    m_b, v_b, ll_b = pkalman.blocked_filter_smoother(
+        real_, *args, block_size=L
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_b), np.asarray(m_seq), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_b), np.asarray(v_seq), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(float(ll_b), float(ll_seq), rtol=1e-11)
+
+
+def test_blocked_all_observed_and_duplicate_times():
+    real_ = smoother.realize(_mk_coeffs())
+    rng = np.random.default_rng(3)
+    t = np.sort(np.concatenate([rng.uniform(0, 5.0, 100),
+                                [2.0, 2.0, 2.0]]))
+    dt = np.concatenate([[0.0], np.diff(t)])
+    yv = np.cos(t)
+    rv = np.full(t.shape, 0.04)
+    obs = np.ones(t.shape)
+    args = [jnp.asarray(x) for x in (dt, yv, rv, obs)]
+    m_seq, v_seq, ll_seq = smoother._filter_smoother(real_, *args)
+    m_b, v_b, ll_b = pkalman.blocked_filter_smoother(real_, *args,
+                                                     block_size=32)
+    np.testing.assert_allclose(
+        np.asarray(m_b), np.asarray(m_seq), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_b), np.asarray(v_seq), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(float(ll_b), float(ll_seq), rtol=1e-11)

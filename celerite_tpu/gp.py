@@ -977,31 +977,43 @@ class GP(ModelSet):
     def get_matrix(
         self, x1=None, x2=None, include_diagonal=None, include_general=None
     ):
-        """Dense covariance matrix (reference celerite.py:476-516)."""
+        """Dense covariance matrix (same surface as reference
+        celerite.py:476-516, built by the dense oracle
+        :func:`celerite_tpu.ops.dense.build_matrix`)."""
+        from .ops import dense
+
+        coeffs = Coefficients(
+            *self.kernel.coefficients, jitter=self.kernel.jitter
+        )
         if x1 is None and x2 is None:
             if self._t is None or not self.computed:
                 raise RuntimeError("you must call 'compute' first")
-            K = self.kernel.get_value(
-                self._t[:, None] - self._t[None, :]
-            )
-            if include_diagonal is None or include_diagonal:
-                K[np.diag_indices_from(K)] += (
-                    self._yerr**2 + self.kernel.jitter
-                )
-            if (include_general is None or include_general) and len(
+            use_diag = include_diagonal is None or include_diagonal
+            use_gen = (include_general is None or include_general) and len(
                 self._A
-            ):
-                K[np.diag_indices_from(K)] += self._A
-                K += np.tril(np.dot(self._U.T, self._V), -1)
-                K += np.triu(np.dot(self._V.T, self._U), 1)
-            return K
+            )
+            K = dense.build_matrix(
+                coeffs,
+                self._t,
+                diag=self._yerr**2 if use_diag else None,
+                A_gen=jnp.asarray(self._A) if use_gen else None,
+                U_gen=jnp.asarray(self._U) if use_gen else None,
+                V_gen=jnp.asarray(self._V) if use_gen else None,
+                include_jitter=use_diag,
+            )
+            return np.array(K, dtype=float)
 
         incl = False
         x1 = np.ascontiguousarray(x1, dtype=float)
         if x2 is None:
             x2 = x1
             incl = include_diagonal is not None and include_diagonal
-        K = self.kernel.get_value(x1[:, None] - x2[None, :])
+        K = np.array(
+            dense.build_matrix(
+                coeffs, x1, t2=np.ascontiguousarray(x2, dtype=float)
+            ),
+            dtype=float,
+        )
         if incl:
             K[np.diag_indices_from(K)] += self.kernel.jitter
         return K

@@ -25,15 +25,26 @@ def build_matrix(
     A_gen=None,
     U_gen=None,
     V_gen=None,
+    t2=None,
+    include_jitter=True,
 ):
-    """Build the dense covariance matrix (including diag/jitter/general)."""
+    """Build the dense covariance matrix (including diag/jitter/general).
+
+    With ``t2`` builds the rectangular cross-covariance ``K(t, t2)``
+    (kernel values only — diag/jitter/general apply to the square case).
+    """
     a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
     t = jnp.asarray(t)
+    if t2 is not None:
+        tau = t[:, None] - jnp.asarray(t2)[None, :]
+        return kernel_value(
+            a_real, c_real, a_comp, b_comp, c_comp, d_comp, tau
+        )
     tau = t[:, None] - t[None, :]
     k = kernel_value(a_real, c_real, a_comp, b_comp, c_comp, d_comp, tau)
     n = t.shape[0]
-    eye = jnp.eye(n, dtype=k.dtype)
-    k = k + jitter * eye
+    if include_jitter:
+        k = k + jitter * jnp.eye(n, dtype=k.dtype)
     if diag is not None:
         k = k + jnp.diag(jnp.asarray(diag, dtype=k.dtype))
     if U_gen is not None and U_gen.shape[0] > 0:

@@ -231,7 +231,7 @@ class GP(ModelSet):
 
     # -- pure functional core ------------------------------------------------
     def build_loglik(self, t, y, yerr=1.123e-12, diag=None, solver="auto",
-                     block_size=None, fast_grad=False):
+                     block_size=None, fast_grad=False, precision=None):
         """Return a pure jittable ``theta_active -> (ll, ok)`` closure.
 
         ``theta_active`` follows ``get_parameter_vector()`` ordering (kernel
@@ -253,6 +253,23 @@ class GP(ModelSet):
         tangent-augmented forward-mode kernel (ops/tangent.py), which
         carries one extra state slot per parameter (the reference's
         forward-mode coefficient AD design, solver.cpp:347).
+
+        ``precision``: ``None`` (native f32/f64 per ``t``'s dtype) or
+        ``"ds"`` — run the lowering AND the full solver recursion in
+        double-single (f32+f32, ~48-bit) arithmetic on TPU hardware
+        (ops/dsa, ops/dslower, ops/dsblocked).  This is the TPU-native
+        equivalent of the reference's float64 core
+        (/root/reference/cpp/include/celerite/solver/cholesky.h:41-210):
+        on adversarial ill-conditioned stacks it recovers the f64
+        answer to the f32-input information limit (~1e-8 relative)
+        where plain f32 is off by percent or fails to factor.
+        Overrides ``solver``; ``fast_grad`` is ignored (plain jax AD
+        traces exactly through the compensated arithmetic).  General
+        (A, U, V) blocks are not supported in this mode.  Note: on CPU
+        (tests), XLA's AVX2 FMA contraction degrades compensated
+        arithmetic unless ``--xla_cpu_max_isa=SSE4_2`` is in
+        ``XLA_FLAGS`` (tests/conftest.py pins it); TPU preserves it
+        natively.
         """
         t_np = np.atleast_1d(np.asarray(t, dtype=np.float64))
         t = jnp.asarray(t_np, dtype=jnp.result_type(float))
@@ -282,6 +299,47 @@ class GP(ModelSet):
         nk = self.kernel.full_size
         kernel = self.kernel
         mean_fn = _mean_value_fn(self.mean)
+
+        if precision not in (None, "ds"):
+            raise ValueError(
+                "precision must be None or 'ds', got {0!r}".format(precision)
+            )
+        if precision == "ds":
+            if self._A is not None and np.size(self._A) > 0:
+                raise ValueError(
+                    "precision='ds' does not support general (A, U, V) "
+                    "blocks; use solver='blocked' or the dense path"
+                )
+            from .ops import dsa as _dsa
+            from .ops import dsblocked as _dsb
+            from .ops import dslower as _dsl
+
+            # Static ds time grid: exact f64 splits of t and the
+            # spacings (dt[0] == 0), computed host-side once.
+            t_ds = _dsa.from_f64(t_np)
+            dt_ds = _dsa.from_f64(
+                np.concatenate([[0.0], np.diff(t_np)])
+            )
+            diag32 = jnp.asarray(diag, jnp.float32)
+            y32 = jnp.asarray(y, jnp.float32)
+
+            def loglik_ds(theta):
+                full = fixed.at[idx].set(theta) if len(idx) else fixed
+                kp, mp = full[:nk], full[nk:]
+                coeffs = Coefficients(
+                    *kernel.get_padded_coefficients(kp),
+                    jitter=kernel.get_jitter(kp),
+                )
+                coeffs = Coefficients(
+                    *[c.astype(jnp.float32) for c in coeffs]
+                )
+                ssm_ds = _dsl.lower_ds(coeffs, t_ds, dt_ds, diag32)
+                resid = y32 - mean_fn(mp, t_ds.hi).astype(jnp.float32)
+                return _dsb.gp_log_likelihood(
+                    ssm_ds, resid, block_size=block_size
+                )
+
+            return loglik_ds
 
         if solver == "auto":
             _no_general = self._A is None or np.size(self._A) == 0

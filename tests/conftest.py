@@ -9,9 +9,17 @@ import os
 # the CPU client is created lazily on first use.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    )
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU's AVX2 codegen contracts a*b+c into FMA and (fusion-dependent)
+# reorders compensated-summation chains, silently destroying the
+# double-single arithmetic of ops/dsa (measured: jitted ds mul loses its
+# lo word, 3e-8 error vs 6e-15 eager).  Pinning the ISA to SSE4_2 (no
+# FMA) restores exact compensation; TPU — the deployment target —
+# preserves it natively, so this is a test-lane-only pin.  Measured
+# suite impact: none (compile time dominates).
+if "xla_cpu_max_isa" not in flags:
+    flags = flags + " --xla_cpu_max_isa=SSE4_2"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -322,23 +322,72 @@ class GP(ModelSet):
             )
             diag32 = jnp.asarray(diag, jnp.float32)
             y32 = jnp.asarray(y, jnp.float32)
+            T_dim = int(mask.sum())
 
-            def loglik_ds(theta):
+            def _cf(theta):
                 full = fixed.at[idx].set(theta) if len(idx) else fixed
-                kp, mp = full[:nk], full[nk:]
+                kp = full[:nk]
                 coeffs = Coefficients(
                     *kernel.get_padded_coefficients(kp),
                     jitter=kernel.get_jitter(kp),
                 )
-                coeffs = Coefficients(
+                return Coefficients(
                     *[c.astype(jnp.float32) for c in coeffs]
                 )
-                ssm_ds = _dsl.lower_ds(coeffs, t_ds, dt_ds, diag32)
-                resid = y32 - mean_fn(mp, t_ds.hi).astype(jnp.float32)
-                return _dsb.gp_log_likelihood(
-                    ssm_ds, resid, block_size=block_size
+
+            def _resid(theta):
+                full = fixed.at[idx].set(theta) if len(idx) else fixed
+                mp = full[nk:]
+                return y32 - mean_fn(mp, t_ds.hi).astype(jnp.float32)
+
+            def _value_ok_grad_ds(theta):
+                """One-pass (ll, ok, grad): dual-ds forward mode — the
+                tangent recursions run in ds arithmetic alongside the
+                value, so the gradient holds the same ds-class accuracy
+                (plain AD's f32 cotangent chains lose ~3 decades to the
+                solver's cancelling reductions)."""
+                coeffs = _cf(theta)
+                jac_c = jax.jacfwd(_cf)(theta)
+                tangents = [
+                    jax.tree_util.tree_map(
+                        lambda l: l[..., j], jac_c
+                    )
+                    for j in range(T_dim)
+                ]
+                ssm_dual = _dsl.lower_ds(
+                    coeffs, t_ds, dt_ds, diag32,
+                    coeff_tangents=tangents,
+                )
+                resid = _resid(theta)
+                _mean_active = len(idx) > 0 and int(idx.max()) >= nk
+                if _mean_active:
+                    jr = jax.jacfwd(_resid)(theta)  # (n, T)
+                    resid = _dsa.dd_seed(
+                        _dsa.from_f32(resid),
+                        (_dsa.from_f32(jr[:, j])
+                         for j in range(T_dim)),
+                    )
+                return _dsb.gp_log_likelihood_grad(
+                    ssm_dual, resid, block_size=block_size
                 )
 
+            @jax.custom_vjp
+            def loglik_ds(theta):
+                ssm_ds = _dsl.lower_ds(_cf(theta), t_ds, dt_ds, diag32)
+                return _dsb.gp_log_likelihood(
+                    ssm_ds, _resid(theta), block_size=block_size
+                )
+
+            def _ds_fwd(theta):
+                ll, ok, grad = _value_ok_grad_ds(theta)
+                return (ll, ok), grad
+
+            def _ds_bwd(grad, g):
+                g_ll, _ = g
+                return (g_ll * grad,)
+
+            loglik_ds.defvjp(_ds_fwd, _ds_bwd)
+            loglik_ds.value_ok_grad = _value_ok_grad_ds
             return loglik_ds
 
         if solver == "auto":

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "DS", "ds", "from_f32", "to_f32", "from_f64",
+    "DS", "DD", "dd_lift", "dd_seed", "dd_ntan",
+    "ds", "from_f32", "to_f32", "from_f64",
     "add", "sub", "neg", "mul", "div", "add_f", "mul_f",
     "sum_axis", "matvec", "vecmat", "matmul", "outer",
     "refine_inv", "log_ds", "where", "exp_ds", "sincos_ds", "const_ds",
@@ -105,53 +106,75 @@ def _two_prod(a, b):
     return p, e
 
 
-def neg(x: DS) -> DS:
+def neg(x):
+    if isinstance(x, DD):
+        return _dd_neg(x)
     return DS(-x.hi, -x.lo)
 
 
-def add(x: DS, y: DS) -> DS:
+def add(x, y):
+    if _is_dd(x, y):
+        return _dd_add(x, y)
     s, e = _two_sum(x.hi, y.hi)
     e = e + (x.lo + y.lo)
     return DS(*_quick_two_sum(s, e))
 
 
-def sub(x: DS, y: DS) -> DS:
+def sub(x, y):
     return add(x, neg(y))
 
 
-def add_f(x: DS, b) -> DS:
-    """ds + f32."""
+def add_f(x, b):
+    """ds + f32 (or full add when either side carries tangents)."""
+    if isinstance(b, (DS, DD)):
+        return add(x, b)
+    if isinstance(x, DD):
+        return _dd_add_f(x, b)
     s, e = _two_sum(x.hi, b)
     e = e + x.lo
     return DS(*_quick_two_sum(s, e))
 
 
-def mul(x: DS, y: DS) -> DS:
+def mul(x, y):
+    if _is_dd(x, y):
+        return _dd_mul(x, y)
     p, e = _two_prod(x.hi, y.hi)
     e = e + (x.hi * y.lo + x.lo * y.hi)
     return DS(*_quick_two_sum(p, e))
 
 
-def mul_f(x: DS, b) -> DS:
-    """ds * f32."""
+def mul_f(x, b):
+    """ds * f32 (or full mul when either side carries tangents)."""
+    if isinstance(b, DS):
+        return mul(x, b)
+    if _is_dd(x, b):
+        if not isinstance(x, (DS, DD)):
+            raise TypeError("mul_f: plain first arg with DD second")
+        if isinstance(x, DS):
+            x = dd_lift(x, dd_ntan(b))
+        return _dd_mul_f(x, b)
     p, e = _two_prod(x.hi, b)
     e = e + x.lo * b
     return DS(*_quick_two_sum(p, e))
 
 
-def div(x: DS, y: DS) -> DS:
+def div(x, y):
     """ds / ds by one long-division correction step."""
+    if _is_dd(x, y):
+        return _dd_div(x, y)
     q1 = x.hi / y.hi
     r = add(x, neg(mul_f(y, q1)))
     q2 = (r.hi + r.lo) / y.hi
     return DS(*_quick_two_sum(q1, q2))
 
 
-def where(c, x: DS, y: DS) -> DS:
+def where(c, x, y):
+    if _is_dd(x, y):
+        return _dd_where(c, x, y)
     return DS(jnp.where(c, x.hi, y.hi), jnp.where(c, x.lo, y.lo))
 
 
-def log_ds(x: DS) -> DS:
+def log_ds(x):
     """log of a positive ds value to ds-class relative accuracy.
 
     log(hi + lo) = log(hi) + log1p(lo/hi); the hardware f32 log carries a
@@ -160,6 +183,8 @@ def log_ds(x: DS) -> DS:
     random, not the systematic exp-style bias that motivated
     ops/ds.accurate_exp.
     """
+    if isinstance(x, DD):
+        return _dd_log(x)
     h = jnp.log(x.hi)
     l_ = x.lo / x.hi  # log1p(z) ~ z for |z| <= eps32
     return DS(*_quick_two_sum(h, l_))
@@ -168,12 +193,14 @@ def log_ds(x: DS) -> DS:
 # -- reductions and small linear algebra -------------------------------------
 
 
-def sum_axis(x: DS, axis: int) -> DS:
+def sum_axis(x, axis: int):
     """Compensated sum along ``axis`` via pairwise ds folding.
 
     Exact ds adds at every tree level: the result carries the full ds
     accuracy regardless of the axis length (pad-to-pow2 with zeros).
     """
+    if isinstance(x, DD):
+        return _dd_linear(sum_axis, x, axis)
     hi = jnp.moveaxis(x.hi, axis, 0)
     lo = jnp.moveaxis(x.lo, axis, 0)
     n = hi.shape[0]
@@ -193,26 +220,41 @@ def sum_axis(x: DS, axis: int) -> DS:
     return DS(cur.hi[0], cur.lo[0])
 
 
-def matvec(M: DS, v: DS) -> DS:
+def matvec(M, v):
     """(..., p, p) ds @ (..., p) ds -> (..., p) ds."""
+    if _is_dd(M, v):
+        return _dd_matvec(M, v)
     prod = mul(DS(M.hi, M.lo), DS(v.hi[..., None, :], v.lo[..., None, :]))
     return sum_axis(prod, -1)
 
 
-def vecmat(v: DS, M: DS) -> DS:
+def vecmat(v, M):
     """(..., p) ds @ (..., p, p) ds -> (..., p) ds."""
+    if _is_dd(v, M):
+        return _dd_matmul(
+            DD(DS(v.val.hi[..., None, :], v.val.lo[..., None, :]),
+               tuple(DS(t.hi[..., None, :], t.lo[..., None, :])
+                     for t in v.tan))
+            if isinstance(v, DD)
+            else DS(v.hi[..., None, :], v.lo[..., None, :]),
+            M,
+        )
     prod = mul(DS(v.hi[..., :, None], v.lo[..., :, None]), M)
     return sum_axis(prod, -2)
 
 
-def matmul(A: DS, B: DS) -> DS:
+def matmul(A, B):
     """(..., p, q) ds @ (..., q, r) ds -> (..., p, r) ds."""
+    if _is_dd(A, B):
+        return _dd_matmul(A, B)
     a = DS(A.hi[..., :, :, None], A.lo[..., :, :, None])
     b = DS(B.hi[..., None, :, :], B.lo[..., None, :, :])
     return sum_axis(mul(a, b), -2)
 
 
-def outer(x: DS, y: DS) -> DS:
+def outer(x, y):
+    if _is_dd(x, y):
+        return _dd_outer(x, y)
     return mul(
         DS(x.hi[..., :, None], x.lo[..., :, None]),
         DS(y.hi[..., None, :], y.lo[..., None, :]),
@@ -249,13 +291,15 @@ def const_ds(value, dtype=jnp.float32) -> DS:
 # reduction + ds Horner polynomials.
 
 
-def exp_ds(x: DS) -> DS:
+def exp_ds(x):
     """exp of a ds value to ~1e-13 relative (f32 pairs).
 
     Same construction as ops/ds.accurate_exp but with the 2^r kernel
     evaluated in ds: exact reduction x = (k + r) ln 2, 2^k by exponent
     bitcast (exact), exp(r ln 2) by a ds Horner Taylor on |q| <= 0.347.
     """
+    if isinstance(x, DD):
+        return _dd_exp(x)
     dtype = x.hi.dtype
     if jnp.dtype(dtype) != jnp.float32:
         # f64 arrays (CPU x64 tests): hardware exp is exact enough.
@@ -286,13 +330,15 @@ def exp_ds(x: DS) -> DS:
     )
 
 
-def sincos_ds(r: DS):
+def sincos_ds(r):
     """(sin, cos) of a ds angle with |r| <= ~pi, to ~1e-13 absolute.
 
     Quadrant reduction by ds pi/2 (the incoming angle is already reduced
     mod 2 pi by ops/ds.reduced_angle), then ds Horner Taylor kernels on
     |r2| <= pi/4.
     """
+    if isinstance(r, DD):
+        return _dd_sincos(r)
     import math as _math
 
     dtype = r.hi.dtype
@@ -341,7 +387,7 @@ def sincos_ds(r: DS):
     return sin_o, cos_o
 
 
-def refine_inv(M: DS, X0) -> DS:
+def refine_inv(M, X0):
     """ds-accurate inverse of a ds matrix from an f32 seed inverse.
 
     One Newton step X1 = X0 + X0 (I - M X0) performed in ds doubles the
@@ -349,6 +395,8 @@ def refine_inv(M: DS, X0) -> DS:
     i.e. full ds accuracy for the well-scaled (I + C J) matrices the
     Riccati composition inverts.
     """
+    if isinstance(M, DD):
+        return _dd_refine_inv(M, X0)
     X0d = from_f32(X0)
     R = matmul(M, X0d)  # ~ I
     p = M.hi.shape[-1]
@@ -357,3 +405,183 @@ def refine_inv(M: DS, X0) -> DS:
     )
     E = add(from_f32(eye), neg(R))  # I - M X0, computed in ds
     return add(X0d, matmul(X0d, E))
+
+
+# -- dual double-single: forward-mode tangents in ds precision ---------------
+#
+# DD carries a ds value plus T tangent components, each itself a ds
+# number of the same shape.  Every public op above dispatches on DD (the
+# `isinstance` checks are trace-time only), applying the standard
+# forward-mode rule with the tangent arithmetic ALSO in ds — this is the
+# piece plain jax AD cannot give us: jax's tangents of compensated code
+# are plain f32 chains, whose eps32-level noise re-enters the gradient
+# through the solver's cancelling reductions (measured: stream
+# cotangents from f32 AD are ~8e-7 relative, which the N-point
+# contraction amplifies ~3000x to ~2e-3 gradient error).  With ds
+# tangents the gradient tracks the f64 gradient to the same ~1e-8-class
+# limit as the value.
+#
+# Tangents are a tuple of DS (not a stacked axis) so DD stays a plain
+# pytree whose every leaf has the VALUE's shape: lax.scan, vmap,
+# reshape/concat tree_maps, and the blocked solver's structural code
+# work unchanged over DD.
+
+
+class DD(NamedTuple):
+    """Dual ds number: value + T ds tangent components."""
+
+    val: DS
+    tan: tuple  # tuple[DS, ...], each leaf shaped like val
+
+    @property
+    def shape(self):
+        return self.val.hi.shape
+
+    @property
+    def dtype(self):
+        return self.val.hi.dtype
+
+
+def _is_dd(*xs):
+    return any(isinstance(x, DD) for x in xs)
+
+
+def dd_ntan(*xs):
+    for x in xs:
+        if isinstance(x, DD):
+            return len(x.tan)
+    raise ValueError("no DD argument")
+
+
+def dd_lift(x: DS, T: int) -> DD:
+    """Promote a DS (constant w.r.t. the tangent directions) to DD."""
+    z = DS(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+    return DD(x, (z,) * T)
+
+
+def dd_seed(x: DS, tangents) -> DD:
+    """Attach explicit ds tangents (an iterable of DS) to a value."""
+    return DD(x, tuple(tangents))
+
+
+def _dd2(x, T):
+    return x if isinstance(x, DD) else dd_lift(x, T)
+
+
+def dd_tree_map(f, *xs):
+    """Apply an array->array fn to every hi/lo leaf (value + tangents)."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(f, *xs)
+
+
+def _dd_neg(x: DD) -> DD:
+    return DD(neg(x.val), tuple(neg(t) for t in x.tan))
+
+
+def _dd_add(x, y) -> DD:
+    T = dd_ntan(x, y)
+    x, y = _dd2(x, T), _dd2(y, T)
+    return DD(add(x.val, y.val),
+              tuple(add(a, b) for a, b in zip(x.tan, y.tan)))
+
+
+def _dd_add_f(x: DD, b) -> DD:
+    return DD(add_f(x.val, b), x.tan)
+
+
+def _dd_mul(x, y) -> DD:
+    T = dd_ntan(x, y)
+    x, y = _dd2(x, T), _dd2(y, T)
+    v = mul(x.val, y.val)
+    t = tuple(
+        add(mul(a, y.val), mul(x.val, b))
+        for a, b in zip(x.tan, y.tan)
+    )
+    return DD(v, t)
+
+
+def _dd_mul_f(x, b) -> DD:
+    if isinstance(b, DD):  # ds-aware scalar with tangents: full rule
+        return _dd_mul(x, b)
+    return DD(mul_f(x.val, b), tuple(mul_f(t, b) for t in x.tan))
+
+
+def _dd_div(x, y) -> DD:
+    T = dd_ntan(x, y)
+    x, y = _dd2(x, T), _dd2(y, T)
+    q = div(x.val, y.val)
+    t = tuple(
+        div(add(a, neg(mul(q, b))), y.val)
+        for a, b in zip(x.tan, y.tan)
+    )
+    return DD(q, t)
+
+
+def _dd_where(c, x, y) -> DD:
+    T = dd_ntan(x, y)
+    x, y = _dd2(x, T), _dd2(y, T)
+    return DD(where(c, x.val, y.val),
+              tuple(where(c, a, b) for a, b in zip(x.tan, y.tan)))
+
+
+def _dd_log(x: DD) -> DD:
+    return DD(log_ds(x.val), tuple(div(t, x.val) for t in x.tan))
+
+
+def _dd_exp(x: DD) -> DD:
+    e = exp_ds(x.val)
+    return DD(e, tuple(mul(e, t) for t in x.tan))
+
+
+def _dd_sincos(x: DD):
+    s, c = sincos_ds(x.val)
+    ts = tuple(mul(c, t) for t in x.tan)
+    tc = tuple(neg(mul(s, t)) for t in x.tan)
+    return DD(s, ts), DD(c, tc)
+
+
+def _dd_linear(op, x: DD, *args) -> DD:
+    return DD(op(x.val, *args), tuple(op(t, *args) for t in x.tan))
+
+
+def _dd_matmul(A, B) -> DD:
+    T = dd_ntan(A, B)
+    A, B = _dd2(A, T), _dd2(B, T)
+    v = matmul(A.val, B.val)
+    t = tuple(
+        add(matmul(a, B.val), matmul(A.val, b))
+        for a, b in zip(A.tan, B.tan)
+    )
+    return DD(v, t)
+
+
+def _dd_matvec(M, x) -> DD:
+    T = dd_ntan(M, x)
+    M, x = _dd2(M, T), _dd2(x, T)
+    v = matvec(M.val, x.val)
+    t = tuple(
+        add(matvec(a, x.val), matvec(M.val, b))
+        for a, b in zip(M.tan, x.tan)
+    )
+    return DD(v, t)
+
+
+def _dd_outer(x, y) -> DD:
+    T = dd_ntan(x, y)
+    x, y = _dd2(x, T), _dd2(y, T)
+    v = outer(x.val, y.val)
+    t = tuple(
+        add(outer(a, y.val), outer(x.val, b))
+        for a, b in zip(x.tan, y.tan)
+    )
+    return DD(v, t)
+
+
+def _dd_refine_inv(M: DD, X0) -> DD:
+    # d(M^-1) = -M^-1 dM M^-1, all in ds
+    X = refine_inv(M.val, X0)
+    t = tuple(
+        neg(matmul(X, matmul(dm, X))) for dm in M.tan
+    )
+    return DD(X, t)

@@ -33,56 +33,92 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import jax.tree_util as jtu
+
 from . import dsa
-from .dsa import DS
+from .dsa import DD, DS
 from .blocked import _small_inv, default_block_size
 from .dslower import SSMDS, promote_ssm
 from .lower import SSM
 
-__all__ = ["gp_log_likelihood", "default_block_size"]
+__all__ = [
+    "gp_log_likelihood", "gp_log_likelihood_grad", "default_block_size",
+]
 
 
 def _eye(p, dtype):
     return jnp.eye(p, dtype=dtype)
 
 
-def _col(x: DS) -> DS:
-    return DS(x.hi[..., :, None], x.lo[..., :, None])
+# Structural helpers are jax-pytree maps so they apply unchanged to both
+# DS values and DD (dual) values — every DD leaf has the value's shape.
 
 
-def _row(x: DS) -> DS:
-    return DS(x.hi[..., None, :], x.lo[..., None, :])
+def _col(x):
+    return jtu.tree_map(lambda a: a[..., :, None], x)
 
 
-def _bcast(x: DS, shape) -> DS:
-    return DS(jnp.broadcast_to(x.hi, shape), jnp.broadcast_to(x.lo, shape))
+def _row(x):
+    return jtu.tree_map(lambda a: a[..., None, :], x)
+
+
+def _bcast(x, shape):
+    return jtu.tree_map(lambda a: jnp.broadcast_to(a, shape), x)
+
+
+def _hi(x):
+    """The f32 hi word of the VALUE (DS, DD, or plain array)."""
+    if isinstance(x, DD):
+        return x.val.hi
+    return x.hi if isinstance(x, DS) else x
+
+
+def _f32val(x):
+    v = x.val if isinstance(x, DD) else x
+    return v.hi + v.lo
+
+
+def _lift_like(x, template):
+    """Promote a DS to DD with zero tangents when template is dual."""
+    if isinstance(template, DD) and not isinstance(x, DD):
+        return dsa.dd_lift(x, len(template.tan))
+    return x
 
 
 def _pad_blocks_ds(ssm: SSMDS, resid, L):
-    """Pad to a multiple of L with inert rows (A=1, U=V=0, phi=1, y=0)."""
-    n, p = ssm.U.hi.shape
+    """Pad to a multiple of L with inert rows (A=1, U=V=0, phi=1, y=0).
+
+    The inert-row constants live only in the VALUE hi word; every other
+    leaf (lo words, all tangent words) pads with zeros — which is the
+    exact ds/dual representation of those constants.
+    """
+    n, p = _hi(ssm.U).shape
     b = -(-n // L)
     pad = b * L - n
-    dtype = ssm.U.hi.dtype
+    dtype = _hi(ssm.U).dtype
 
-    def padf(x, const):
-        z = jnp.full((pad,) + x.shape[1:], const, dtype)
-        return jnp.concatenate([x, z], axis=0)
+    def padx(x, const):
+        if not pad:
+            return x
+        hi_leaf = _hi(x)
 
-    if pad:
-        ssm = SSMDS(
-            U=DS(padf(ssm.U.hi, 0), padf(ssm.U.lo, 0)),
-            V=DS(padf(ssm.V.hi, 0), padf(ssm.V.lo, 0)),
-            phi=DS(padf(ssm.phi.hi, 1), padf(ssm.phi.lo, 0)),
-            A=DS(padf(ssm.A.hi, 1), padf(ssm.A.lo, 0)),
+        def padf(a, c):
+            z = jnp.full((pad,) + a.shape[1:], c, dtype)
+            return jnp.concatenate([a, z], axis=0)
+
+        return jtu.tree_map(
+            lambda a: padf(a, const if a is hi_leaf else 0), x
         )
-        if resid is not None:
-            resid = jnp.concatenate(
-                [resid, jnp.zeros((pad,), resid.dtype)]
-            )
 
-    def blkify(x: DS, *shape):
-        return DS(x.hi.reshape(*shape), x.lo.reshape(*shape))
+    ssm = SSMDS(
+        U=padx(ssm.U, 0), V=padx(ssm.V, 0),
+        phi=padx(ssm.phi, 1), A=padx(ssm.A, 1),
+    )
+    if resid is not None:
+        resid = padx(resid, 0)
+
+    def blkify(x, *shape):
+        return jtu.tree_map(lambda a: a.reshape(*shape), x)
 
     blk = SSMDS(
         U=blkify(ssm.U, b, L, p),
@@ -91,7 +127,7 @@ def _pad_blocks_ds(ssm: SSMDS, resid, L):
         A=blkify(ssm.A, b, L),
     )
     if resid is not None:
-        resid = resid.reshape(b, L)
+        resid = blkify(resid, b, L)
     return blk, resid, b, pad
 
 
@@ -104,13 +140,13 @@ def _compose_full_ds(e1, e2):
     """
     A1, J1, C1 = e1
     A2, J2, C2 = e2
-    p = A1.hi.shape[-1]
-    eyeb = jnp.broadcast_to(_eye(p, A1.hi.dtype), A1.hi.shape)
+    p = _hi(A1).shape[-1]
+    eyeb = jnp.broadcast_to(_eye(p, _hi(A1).dtype), _hi(A1).shape)
     M = dsa.add_f(dsa.matmul(C1, J2), eyeb)
-    E = dsa.refine_inv(M, _small_inv(M.hi + M.lo))
+    E = dsa.refine_inv(M, _small_inv(_f32val(M)))
     A12 = dsa.matmul(A2, dsa.matmul(E, A1))
-    tr = lambda x: DS(
-        jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2)
+    tr = lambda x: jtu.tree_map(
+        lambda a: jnp.swapaxes(a, -1, -2), x
     )
     C12 = dsa.add(
         dsa.matmul(dsa.matmul(A2, E), dsa.matmul(C1, tr(A2))), C2
@@ -128,9 +164,9 @@ def _step_factor_ds(Sh: DS, u: DS, v: DS, ph: DS, a: DS):
     # d = a - u . su
     d = dsa.add(dsa.neg(dsa.sum_axis(dsa.mul(su, u), -1)), a)
     # w = (v - su) / d
-    w = dsa.div(dsa.add(dsa.neg(su), v), _bcast(d, su.hi.shape))
+    w = dsa.div(dsa.add(dsa.neg(su), v), _bcast(d, _hi(su).shape))
     # Sh' = S + d w w^T
-    dww = dsa.mul(dsa.outer(w, w), _bcast(d, S.hi.shape))
+    dww = dsa.mul(dsa.outer(w, w), _bcast(d, _hi(S).shape))
     return dsa.add(S, dww), S, su, d, w
 
 
@@ -141,8 +177,8 @@ def _block_elements_ds(blk: SSMDS):
     A accumulates closed-loop transitions (I - w u^T) Phi, J a sum of
     stable rank-1 terms — all in ds.
     """
-    p = blk.U.hi.shape[-1]
-    dtype = blk.U.hi.dtype
+    p = _hi(blk.U).shape[-1]
+    dtype = _hi(blk.U).dtype
 
     def one_block(U, V, phi, A):
         def step(carry, inp):
@@ -167,8 +203,10 @@ def _block_elements_ds(blk: SSMDS):
             )
             return (Anew, Jnew, Sh_new), None
 
-        zero = dsa.from_f32(jnp.zeros((p, p), dtype))
-        init = (dsa.from_f32(_eye(p, dtype)), zero, zero)
+        zero = _lift_like(dsa.from_f32(jnp.zeros((p, p), dtype)), U)
+        init = (
+            _lift_like(dsa.from_f32(_eye(p, dtype)), U), zero, zero,
+        )
         (Ab, Jb, Cb), _ = lax.scan(step, init, (U, V, phi, A))
         return Ab, Jb, Cb
 
@@ -177,17 +215,17 @@ def _block_elements_ds(blk: SSMDS):
 
 def _exclusive_prefix_elements_ds(elems):
     A, J, C = elems
-    p = A.hi.shape[-1]
+    p = _hi(A).shape[-1]
     incl = lax.associative_scan(_compose_full_ds, (A, J, C), axis=0)
-    eye = dsa.from_f32(
-        jnp.broadcast_to(_eye(p, A.hi.dtype), (1, p, p))
+    dtype = _hi(A).dtype
+    eye = _lift_like(
+        dsa.from_f32(jnp.broadcast_to(_eye(p, dtype), (1, p, p))), A
     )
-    zero = dsa.from_f32(jnp.zeros((1, p, p), A.hi.dtype))
+    zero = _lift_like(dsa.from_f32(jnp.zeros((1, p, p), dtype)), A)
 
     def shift(init, inc):
-        return DS(
-            jnp.concatenate([init.hi, inc.hi[:-1]], axis=0),
-            jnp.concatenate([init.lo, inc.lo[:-1]], axis=0),
+        return jtu.tree_map(
+            lambda i, a: jnp.concatenate([i, a[:-1]], axis=0), init, inc
         )
 
     return tuple(
@@ -204,21 +242,22 @@ def _affine_compose_ds(e1, e2):
     )
 
 
-def _exclusive_prefix_affine_ds(M: DS, m: DS):
-    p = M.hi.shape[-1]
+def _exclusive_prefix_affine_ds(M, m):
+    p = _hi(M).shape[-1]
     incl = lax.associative_scan(_affine_compose_ds, (M, m), axis=0)
-    eye = dsa.from_f32(jnp.broadcast_to(_eye(p, M.hi.dtype), (1, p, p)))
-    zero = dsa.from_f32(jnp.zeros((1, p), M.hi.dtype))
+    dtype = _hi(M).dtype
+    eye = _lift_like(
+        dsa.from_f32(jnp.broadcast_to(_eye(p, dtype), (1, p, p))), M
+    )
+    zero = _lift_like(dsa.from_f32(jnp.zeros((1, p), dtype)), m)
     Mi, mi = incl
-    Mp = DS(
-        jnp.concatenate([eye.hi, Mi.hi[:-1]], axis=0),
-        jnp.concatenate([eye.lo, Mi.lo[:-1]], axis=0),
-    )
-    mp = DS(
-        jnp.concatenate([zero.hi, mi.hi[:-1]], axis=0),
-        jnp.concatenate([zero.lo, mi.lo[:-1]], axis=0),
-    )
-    return Mp, mp
+
+    def shift(init, inc):
+        return jtu.tree_map(
+            lambda i, a: jnp.concatenate([i, a[:-1]], axis=0), init, inc
+        )
+
+    return shift(eye, Mi), shift(zero, mi)
 
 
 def gp_log_likelihood(ssm, resid, block_size=None):
@@ -230,12 +269,58 @@ def gp_log_likelihood(ssm, resid, block_size=None):
     chains are exact under AD, so the returned gradient is the exact
     gradient of the ds-computed value.
     """
+    total, min_d, n, dtype = _total_ds(ssm, resid, block_size)
+    const = n * math.log(2.0 * math.pi)
+    ll = -0.5 * (dsa.to_f32(total) + jnp.asarray(const, dtype))
+    ok = (jnp.min(min_d) > 0) & jnp.isfinite(lax.stop_gradient(ll))
+    ll = jnp.where(ok, ll, -jnp.inf)
+    return ll, ok
+
+
+def gp_log_likelihood_grad(ssm, resid, block_size=None):
+    """(ll, ok, grad) with the T gradient components carried as ds
+    tangents through the ENTIRE recursion (dual-ds forward mode).
+
+    ``ssm`` is an :class:`SSMDS` whose streams are :class:`dsa.DD`
+    values seeded with ds tangents (see dslower.lower_ds with
+    ``coeff_tangents``); ``resid`` may be a plain f32 array, a DS, or a
+    DD (tangents flow for active mean parameters).  Unlike plain jax AD
+    over :func:`gp_log_likelihood` — whose cotangent chains run in f32
+    and re-introduce eps32-level noise that the solver's cancelling
+    reductions amplify ~1000x — the returned gradient tracks the f64
+    gradient at the same ds-class accuracy as the value.  Cost is
+    ~(1 + 2 T) ds forward passes, single sweep, no residual saves.
+
+    The reference computes this gradient in hardware f64 forward-mode
+    (solver.cpp:347, grad templates of cholesky.h); this is the
+    TPU-native equivalent.
+    """
+    total, min_d, n, dtype = _total_ds(ssm, resid, block_size)
+    if not isinstance(total, DD):
+        raise TypeError(
+            "gp_log_likelihood_grad needs DD-seeded streams; use "
+            "gp_log_likelihood for plain ds values"
+        )
+    const = n * math.log(2.0 * math.pi)
+    ll = -0.5 * (dsa.to_f32(total.val) + jnp.asarray(const, dtype))
+    grad = jnp.stack([
+        -0.5 * (t.hi.astype(dtype) + t.lo.astype(dtype))
+        for t in total.tan
+    ])
+    ok = (jnp.min(min_d) > 0) & jnp.isfinite(lax.stop_gradient(ll))
+    ll = jnp.where(ok, ll, -jnp.inf)
+    grad = jnp.where(ok, grad, jnp.zeros_like(grad))
+    return ll, ok, grad
+
+
+def _total_ds(ssm, resid, block_size):
+    """quad + logdet as a DS (or DD) total, plus per-block min d."""
     if isinstance(ssm, SSM):
         ssm = promote_ssm(ssm)
-    n, p = ssm.U.hi.shape
+    n, p = _hi(ssm.U).shape
     L = block_size or default_block_size(n)
     blk, y_blk, b, pad = _pad_blocks_ds(ssm, resid, L)
-    dtype = ssm.U.hi.dtype
+    dtype = _hi(ssm.U).dtype
 
     # Pass 1: ds block elements + ds cross-block prefix -> incoming S-hat.
     elems = _block_elements_ds(blk)
@@ -260,8 +345,8 @@ def gp_log_likelihood(ssm, resid, block_size=None):
 
         init = (
             Sh,
-            dsa.from_f32(_eye(p, dtype)),
-            dsa.from_f32(jnp.zeros((p,), dtype)),
+            _lift_like(dsa.from_f32(_eye(p, dtype)), Sh),
+            _lift_like(dsa.from_f32(jnp.zeros((p,), dtype)), Sh),
         )
         (_, Mb, mb), (D, W) = lax.scan(step, init, (U, V, phi, A, y))
         return Mb, mb, D, W
@@ -284,10 +369,10 @@ def gp_log_likelihood(ssm, resid, block_size=None):
             h = dsa.add(f, dsa.mul(w, z))  # scalar z broadcasts
             quad = dsa.add(quad, dsa.div(dsa.mul(z, z), d))
             logdet = dsa.add(logdet, dsa.log_ds(d))
-            min_d = jnp.minimum(min_d, d.hi)
+            min_d = jnp.minimum(min_d, _hi(d))
             return (h, quad, logdet, min_d), None
 
-        zero = dsa.from_f32(jnp.zeros((), dtype))
+        zero = _lift_like(dsa.from_f32(jnp.zeros((), dtype)), h)
         init = (h, zero, zero, jnp.asarray(jnp.inf, dtype))
         (h, quad, logdet, min_d), _ = lax.scan(
             step, init, (U, phi, W, y, D)
@@ -302,8 +387,4 @@ def gp_log_likelihood(ssm, resid, block_size=None):
     total = dsa.add(
         dsa.sum_axis(quad_b, 0), dsa.sum_axis(logdet_b, 0)
     )
-    const = n * math.log(2.0 * math.pi)
-    ll = -0.5 * (dsa.to_f32(total) + jnp.asarray(const, dtype))
-    ok = (jnp.min(min_d) > 0) & jnp.isfinite(lax.stop_gradient(ll))
-    ll = jnp.where(ok, ll, -jnp.inf)
-    return ll, ok
+    return total, min_d, n, dtype

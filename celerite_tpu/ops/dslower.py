@@ -12,6 +12,13 @@ floor measured in round 3.  Here every stream is a double-single pair
 built from exact argument reduction + ds transcendental kernels
 (:mod:`celerite_tpu.ops.dsa`), accurate to ~1e-13.
 
+With ``coeff_tangents`` the coefficient scalars become dual-ds numbers
+(:class:`dsa.DD`) and the streams carry T ds-accurate tangent
+components, feeding :func:`dsblocked.gp_log_likelihood_grad` — the
+forward-mode gradient whose tangent arithmetic itself runs in ds (the
+reference's f64 forward-mode coefficient AD, solver.cpp:347, done the
+TPU-native way).
+
 The reference needs none of this: its lowering runs inside the f64
 factor loop (/root/reference/cpp/include/celerite/solver/cholesky.h:
 129-152).  This module is the TPU-native (f32-hardware) equivalent.
@@ -19,12 +26,13 @@ factor loop (/root/reference/cpp/include/celerite/solver/cholesky.h:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
+import jax.tree_util as jtu
 
 from . import dsa
-from .dsa import DS
+from .dsa import DD, DS
 from . import ds as _ds
 from .lower import Coefficients
 
@@ -50,8 +58,8 @@ def promote_ssm(ssm) -> SSMDS:
     )
 
 
-def _col(x: DS) -> DS:
-    return DS(x.hi[:, None], x.lo[:, None])
+def _col(x):
+    return jtu.tree_map(lambda a: a[:, None], x)
 
 
 def lower_ds(
@@ -59,6 +67,7 @@ def lower_ds(
     t: DS,
     dt: DS,
     diag,
+    coeff_tangents: Optional[Sequence[Coefficients]] = None,
 ) -> SSMDS:
     """Build ds (U, V, phi, A) for sorted coordinates.
 
@@ -69,79 +78,111 @@ def lower_ds(
     is a coefficient-level perturbation (a nearby valid kernel) and is
     kept coherent here by computing A from the same stored values with
     compensated sums.
+
+    ``coeff_tangents``: optional sequence of T Coefficients trees (f32
+    arrays shaped like ``coeffs``) holding d(coeff)/d(theta_j); the
+    returned streams are then :class:`dsa.DD` duals whose tangents are
+    computed in ds arithmetic throughout.
     """
     a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
     n = t.hi.shape[0]
     jr = a_real.shape[0]
     jc = a_comp.shape[0]
     dtype = t.hi.dtype
+    dual = coeff_tangents is not None
+
+    def cnum(field):
+        """A coefficient array as a DS (or DD with its seeded tangents)."""
+        v = dsa.from_f32(getattr(coeffs, field).astype(dtype))
+        if not dual:
+            return v
+        return dsa.dd_seed(v, (
+            dsa.from_f32(getattr(ct, field).astype(dtype))
+            for ct in coeff_tangents
+        ))
+
+    def lift(x):
+        """A tangent-free DS, promoted to DD in dual mode."""
+        if not dual:
+            return x
+        return dsa.dd_lift(x, len(coeff_tangents))
 
     dt_col = _col(dt)
 
-    parts_hi_u, parts_lo_u = [], []
-    parts_hi_v, parts_lo_v = [], []
-    parts_hi_p, parts_lo_p = [], []
+    parts_u, parts_v, parts_p = [], [], []
 
     if jr:
-        u_r = dsa.from_f32(
-            jnp.broadcast_to(a_real.astype(dtype), (n, jr))
-        )
-        v_r = dsa.from_f32(jnp.ones((n, jr), dtype))
-        p_r = dsa.exp_ds(dsa.mul_f(dsa.neg(dt_col), c_real.astype(dtype)))
-        parts_hi_u.append(u_r.hi); parts_lo_u.append(u_r.lo)
-        parts_hi_v.append(v_r.hi); parts_lo_v.append(v_r.lo)
-        parts_hi_p.append(p_r.hi); parts_lo_p.append(p_r.lo)
+        ones = dsa.from_f32(jnp.ones((n, jr), dtype))
+        u_r = dsa.mul_f(lift(ones), cnum("a_real"))
+        v_r = lift(ones)
+        p_r = dsa.exp_ds(dsa.mul_f(lift(dsa.neg(dt_col)), cnum("c_real")))
+        parts_u.append(u_r)
+        parts_v.append(v_r)
+        parts_p.append(p_r)
 
     if jc:
         r_hi, r_lo = _ds.reduced_angle(
             d_comp.astype(dtype), t.hi[:, None], t.lo[:, None]
         )
-        sin, cos = dsa.sincos_ds(DS(r_hi, r_lo))
-        a_c = a_comp.astype(dtype)
-        b_c = b_comp.astype(dtype)
+        r = DS(r_hi, r_lo)
+        if dual:
+            # d(angle)/d(d_comp_tangent) = t * dd; the mod-2pi shift of
+            # reduced_angle is locally constant so it does not touch
+            # the tangent.  Computed in ds from the exact t pair.
+            d_dd = cnum("d_comp")
+            t_colds = DS(t.hi[:, None], t.lo[:, None])
+            r = dsa.dd_seed(r, (
+                dsa.mul(t_colds, dt_) for dt_ in d_dd.tan
+            ))
+        sin, cos = dsa.sincos_ds(r)
+        a_c = cnum("a_comp")
+        b_c = cnum("b_comp")
         u0 = dsa.add(dsa.mul_f(cos, a_c), dsa.mul_f(sin, b_c))
         u1 = dsa.sub(dsa.mul_f(sin, a_c), dsa.mul_f(cos, b_c))
         p_half = dsa.exp_ds(
-            dsa.mul_f(dsa.neg(dt_col), c_comp.astype(dtype))
+            dsa.mul_f(lift(dsa.neg(dt_col)), cnum("c_comp"))
         )
 
         def interleave(x0, x1):
-            return jnp.stack([x0, x1], axis=-1).reshape(n, 2 * jc)
+            return jtu.tree_map(
+                lambda a, b: jnp.stack([a, b], axis=-1).reshape(
+                    n, 2 * jc
+                ),
+                x0, x1,
+            )
 
-        parts_hi_u.append(interleave(u0.hi, u1.hi))
-        parts_lo_u.append(interleave(u0.lo, u1.lo))
-        parts_hi_v.append(interleave(cos.hi, sin.hi))
-        parts_lo_v.append(interleave(cos.lo, sin.lo))
-        parts_hi_p.append(interleave(p_half.hi, p_half.hi))
-        parts_lo_p.append(interleave(p_half.lo, p_half.lo))
+        parts_u.append(interleave(u0, u1))
+        parts_v.append(interleave(cos, sin))
+        parts_p.append(interleave(p_half, p_half))
 
-    if parts_hi_u:
-        cat = lambda parts: jnp.concatenate(parts, axis=1)
-        U = DS(cat(parts_hi_u), cat(parts_lo_u))
-        V = DS(cat(parts_hi_v), cat(parts_lo_v))
-        phi = DS(cat(parts_hi_p), cat(parts_lo_p))
+    if parts_u:
+        def cat(parts):
+            return jtu.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *parts
+            )
+
+        U, V, phi = cat(parts_u), cat(parts_v), cat(parts_p)
     else:  # jitter-only kernel (P = 0)
         z = jnp.zeros((n, 0), dtype)
-        U = V = phi = DS(z, z)
+        U = V = phi = lift(DS(z, z))
 
     # A = diag + sum(a_real) + sum(a_comp) + jitter, compensated so a
     # tiny diagonal survives next to a large summed variance.
-    asum = dsa.from_f32(jnp.zeros((), dtype))
+    asum = lift(dsa.from_f32(jnp.zeros((), dtype)))
     if jr:
-        asum = dsa.add(asum, dsa.sum_axis(dsa.from_f32(a_real), 0))
+        asum = dsa.add(asum, dsa.sum_axis(cnum("a_real"), 0))
     if jc:
-        asum = dsa.add(asum, dsa.sum_axis(dsa.from_f32(a_comp), 0))
-    asum = dsa.add_f(asum, jnp.asarray(jitter, dtype))
-    if isinstance(diag, DS):
-        A = dsa.add(
-            DS(jnp.broadcast_to(asum.hi, (n,)),
-               jnp.broadcast_to(asum.lo, (n,))),
-            diag,
-        )
+        asum = dsa.add(asum, dsa.sum_axis(cnum("a_comp"), 0))
+    jit_num = dsa.from_f32(jnp.asarray(jitter, dtype))
+    if dual:
+        jit_num = dsa.dd_seed(jit_num, (
+            dsa.from_f32(jnp.asarray(ct.jitter, dtype))
+            for ct in coeff_tangents
+        ))
+    asum = dsa.add(asum, jit_num)
+    bcast_n = jtu.tree_map(lambda a: jnp.broadcast_to(a, (n,)), asum)
+    if isinstance(diag, (DS, DD)):
+        A = dsa.add(bcast_n, diag)
     else:
-        A = dsa.add_f(
-            DS(jnp.broadcast_to(asum.hi, (n,)),
-               jnp.broadcast_to(asum.lo, (n,))),
-            jnp.asarray(diag, dtype),
-        )
+        A = dsa.add_f(bcast_n, jnp.asarray(diag, dtype))
     return SSMDS(U=U, V=V, phi=phi, A=A)

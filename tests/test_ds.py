@@ -252,3 +252,71 @@ def test_gp_precision_ds_unknown_value_raises():
     gp, t, y = _gp_problem(n=128)
     with pytest.raises(ValueError, match="precision"):
         gp.build_loglik(t, y, yerr=0.05, precision="f64")
+
+
+# -- dual-ds forward-mode gradient -------------------------------------------
+
+
+def test_dual_ds_gradient_tracks_f64():
+    """The headline gradient guarantee: ds tangent arithmetic holds the
+    gradient at f32-output-rounding class (~3e-7 here), where plain AD
+    through the ds graph is ~3.6e-3 and f32 AD ~8.8e-3."""
+    gp, t, y = _gp_problem()
+    th = jnp.asarray(gp.get_parameter_vector())
+    g64 = np.asarray(
+        jax.grad(lambda p: gp.build_loglik(t, y, yerr=0.05)(p)[0])(th))
+    fn = gp.build_loglik(t, y, yerr=0.05, precision="ds")
+    ll, ok, grad = fn.value_ok_grad(th.astype(jnp.float32))
+    assert bool(ok)
+    dev = np.linalg.norm(np.asarray(grad, np.float64) - g64)
+    assert dev / np.linalg.norm(g64) < 5e-6
+
+
+@pytest.mark.slow
+def test_dual_ds_custom_vjp_matches_value_ok_grad():
+    gp, t, y = _gp_problem(n=512)
+    th = jnp.asarray(gp.get_parameter_vector(), jnp.float32)
+    fn = gp.build_loglik(t, y, yerr=0.05, precision="ds")
+    _, _, grad = fn.value_ok_grad(th)
+    g_vjp = jax.grad(lambda p: fn(p)[0])(th)
+    np.testing.assert_allclose(np.asarray(g_vjp), np.asarray(grad),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_dual_ds_gradient_with_active_mean():
+    from celerite_tpu.modeling import ConstantModel
+
+    gp_, t, y = _gp_problem(n=512)
+    gp = GP(gp_.kernel, mean=ConstantModel(0.3), fit_mean=True)
+    th = jnp.asarray(gp.get_parameter_vector())
+    g64 = np.asarray(
+        jax.grad(lambda p: gp.build_loglik(t, y, yerr=0.05)(p)[0])(th))
+    fn = gp.build_loglik(t, y, yerr=0.05, precision="ds")
+    ll, ok, grad = fn.value_ok_grad(th.astype(jnp.float32))
+    assert bool(ok)
+    dev = np.linalg.norm(np.asarray(grad, np.float64) - g64)
+    assert dev / np.linalg.norm(g64) < 5e-6
+
+
+@pytest.mark.slow
+def test_dual_ds_gradient_adversarial_misfit():
+    """Mis-fitted 3-term model at N=16384: near-cancelling gradient
+    components (the ROADMAP 20-30% f32 failure mode, shrunk to test
+    scale).  The dual-ds gradient must stay within 1e-4 of f64."""
+    rng = np.random.default_rng(0)
+    N = 16384
+    t = np.sort(rng.uniform(0, 200.0, N))
+    y = np.sin(2.7 * t) * 1.5 + 0.3 * rng.standard_normal(N)
+    k = terms.SHOTerm(log_S0=1.8, log_Q=0.7, log_omega0=2.2) \
+        + terms.SHOTerm(log_S0=-0.5, log_Q=1.1, log_omega0=0.4) \
+        + terms.RealTerm(log_a=0.4, log_c=-2.0)
+    gp = GP(k)
+    th = jnp.asarray(gp.get_parameter_vector())
+    g64 = np.asarray(
+        jax.grad(lambda p: gp.build_loglik(t, y, yerr=0.1)(p)[0])(th))
+    fn = gp.build_loglik(t, y, yerr=0.1, precision="ds")
+    ll, ok, grad = fn.value_ok_grad(th.astype(jnp.float32))
+    assert bool(ok)
+    dev = np.linalg.norm(np.asarray(grad, np.float64) - g64)
+    assert dev / np.linalg.norm(g64) < 1e-4

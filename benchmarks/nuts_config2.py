@@ -37,6 +37,16 @@ def main():
     ap.add_argument("--samples", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--target-accept", type=float, default=0.8)
+    ap.add_argument(
+        "--dense-mass", action="store_true",
+        help="adapt a full (dim, dim) inverse mass matrix "
+             "(pooled cross moments) instead of the diagonal",
+    )
+    ap.add_argument(
+        "--precision", choices=["f32", "ds"], default="f32",
+        help="likelihood/gradient kernels: native f32 or the "
+             "double-single exact mode",
+    )
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -81,6 +91,7 @@ def main():
     logprob = gp.build_logprob(
         t, y, yerr=yerr,
         log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
+        precision=None if args.precision == "f32" else args.precision,
     )
     dim = gp.vector_size
     dtype = jnp.result_type(float)
@@ -90,7 +101,7 @@ def main():
     _lpd.value_and_grad = lambda data, th: _vag(th)
     init_carry, warm_seg, samp_seg, _, _ = _build_segments(
         _lpd, chains, dim, dtype, 8, args.target_accept,
-        warmup_max_tree_depth=6,
+        warmup_max_tree_depth=6, dense_mass=args.dense_mass,
     )
     warm = jax.jit(
         lambda c, k, mf, ef: warm_seg(None, c, k, mf, ef)
@@ -194,6 +205,8 @@ def main():
         "chains": chains,
         "dim": dim,
         "target_accept": args.target_accept,
+        "dense_mass": bool(args.dense_mass),
+        "precision": args.precision,
         "warmup_wall_s": round(t_warm, 2),
         "sampling_wall_s": round(t_samp, 2),
         "compile_wall_s": round(t_compile_warm + t_compile_samp, 2),

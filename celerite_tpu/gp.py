@@ -907,7 +907,8 @@ class GP(ModelSet):
         return loglik_fast
 
     def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
-                      solver="auto", block_size=None, fast_grad=None):
+                      solver="auto", block_size=None, fast_grad=None,
+                      precision=None):
         """Pure ``theta -> log posterior`` (ll + prior), -inf-safe.
 
         ``log_prior`` defaults to a traceable box prior built from the
@@ -921,10 +922,17 @@ class GP(ModelSet):
         (samplers pick it up automatically, ~10x faster per vmapped
         leapfrog than AD through the primal).  Pass ``False`` to force
         plain autodiff or ``"tangent"`` for the forward-mode kernels.
+
+        ``precision="ds"`` routes the likelihood (value AND gradient)
+        through the double-single solver (``build_loglik`` precision
+        semantics): ~48-bit-significand accuracy on TPU at ~5-10x the
+        f32 kernel cost — the opt-in for posteriors whose f32 gradient
+        noise produces divergences (see docs/precision.md).
         """
         ll_fn = self.build_loglik(
             t, y, yerr=yerr, solver=solver, block_size=block_size,
             fast_grad=False if fast_grad is None else fast_grad,
+            precision=precision,
         )
         if log_prior is None:
             bounds = self.get_parameter_bounds()

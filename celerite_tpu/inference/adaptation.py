@@ -25,6 +25,9 @@ __all__ = [
     "welford_init",
     "welford_update",
     "welford_variance",
+    "welford_cov_init",
+    "welford_cov_update",
+    "welford_covariance",
     "window_boundaries",
 ]
 
@@ -129,6 +132,55 @@ def welford_variance(s: WelfordState, regularize=True):
         w = s.count / (s.count + 5.0)
         var = w * var + (1.0 - w) * 1e-3
     return var
+
+
+def welford_cov_init(dim, dtype=jnp.float64):
+    """Dense-covariance Welford accumulator: ``m2`` is (dim, dim)."""
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim, dim), dtype),
+    )
+
+
+def welford_cov_update(s: WelfordState, xs, axis_name=None):
+    """Batch update accumulating full cross moments (dense mass matrix).
+
+    Same pooling semantics as :func:`welford_update`; ``m2`` carries the
+    sum of outer products of deviations, so ``welford_covariance``
+    yields the sample covariance of all pooled draws.
+    """
+    from jax import lax
+
+    xs = jnp.atleast_2d(xs)
+    n = jnp.asarray(xs.shape[0], s.count.dtype)
+    batch_sum = jnp.sum(xs, axis=0)
+    if axis_name is not None:
+        n = lax.psum(n, axis_name)
+        batch_sum = lax.psum(batch_sum, axis_name)
+    batch_mean = batch_sum / n
+    dev = xs - batch_mean
+    batch_m2 = dev.T @ dev
+    if axis_name is not None:
+        batch_m2 = lax.psum(batch_m2, axis_name)
+    count = s.count + n
+    delta = batch_mean - s.mean
+    mean = s.mean + delta * (n / count)
+    m2 = s.m2 + batch_m2 + jnp.outer(delta, delta) * (
+        n * s.count / count
+    )
+    return WelfordState(count=count, mean=mean, m2=m2)
+
+
+def welford_covariance(s: WelfordState, regularize=True):
+    """Sample covariance with Stan's shrinkage toward a scaled identity
+    (the dense analog of :func:`welford_variance`)."""
+    cov = s.m2 / jnp.maximum(s.count - 1.0, 1.0)
+    if regularize:
+        w = s.count / (s.count + 5.0)
+        dim = s.mean.shape[0]
+        cov = w * cov + (1.0 - w) * 1e-3 * jnp.eye(dim, dtype=cov.dtype)
+    return cov
 
 
 def window_boundaries(num_warmup, init_buffer=75, term_buffer=50,

@@ -72,9 +72,34 @@ def _trailing_zeros(n):
     return _popcount((n & -n) - 1)
 
 
+def _velocity(inv_mass, p):
+    """dq/dt = M^-1 p for a diagonal (vector) or dense (matrix) metric."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ p
+    return inv_mass * p
+
+
+def _velocity_rows(inv_mass, P):
+    """Velocity of a batch of momenta (rows of ``P``)."""
+    if inv_mass.ndim == 2:
+        return P @ inv_mass  # symmetric, so right-multiply works
+    return inv_mass[None, :] * P
+
+
+def _sample_momentum(key, dim, dtype, inv_mass):
+    """p ~ N(0, M) with M = inv_mass^-1 (so that cov of velocity draws
+    matches the target scale).  Dense path: inv_mass = L L^T =>
+    p = L^-T xi has covariance (L L^T)^-1 = M."""
+    xi = jax.random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 2:
+        L = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
+    return xi / jnp.sqrt(inv_mass)
+
+
 def _leapfrog(grad_fn, q, p, grad, eps, inv_mass):
     p = p - 0.5 * eps * grad
-    q = q + eps * inv_mass * p
+    q = q + eps * _velocity(inv_mass, p)
     new_grad, logp = grad_fn(q)
     p = p - 0.5 * eps * new_grad
     return q, p, new_grad, logp
@@ -93,7 +118,9 @@ def find_reasonable_step_size(logprob_fn, q, key, inv_mass=None,
     dtype = q.dtype
     if inv_mass is None:
         inv_mass = jnp.ones((dim,), dtype)
-    inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
+    inv_mass = jnp.asarray(inv_mass, dtype)
+    if inv_mass.ndim < 2:
+        inv_mass = jnp.broadcast_to(inv_mass, (dim,))
     vag = getattr(logprob_fn, "value_and_grad", None)
 
     def grad_fn(x):
@@ -104,12 +131,12 @@ def find_reasonable_step_size(logprob_fn, q, key, inv_mass=None,
         return -g, logp
 
     grad0, logp0 = grad_fn(q)
-    p0 = jax.random.normal(key, (dim,), dtype) / jnp.sqrt(inv_mass)
-    h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+    p0 = _sample_momentum(key, dim, dtype, inv_mass)
+    h0 = -logp0 + 0.5 * jnp.sum(p0 * _velocity(inv_mass, p0))
 
     def log_ratio(eps):
         _, pn, _, logpn = _leapfrog(grad_fn, q, p0, grad0, eps, inv_mass)
-        h1 = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
+        h1 = -logpn + 0.5 * jnp.sum(pn * _velocity(inv_mass, pn))
         r = h0 - h1
         return jnp.where(jnp.isnan(r), -jnp.inf, r)
 
@@ -143,7 +170,9 @@ def nuts_kernel(
     dim = q.shape[0]
     dtype = q.dtype
     eps = jnp.asarray(step_size, dtype)
-    inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
+    inv_mass = jnp.asarray(inv_mass, dtype)
+    if inv_mass.ndim < 2:
+        inv_mass = jnp.broadcast_to(inv_mass, (dim,))
 
     # A logprob_fn carrying a ``value_and_grad`` attribute supplies both
     # in one pass (e.g. the tangent-augmented fused kernel of
@@ -158,12 +187,12 @@ def nuts_kernel(
         return -g, logp  # gradient of potential U = -logp
 
     key, k_mom = jax.random.split(key)
-    p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    p0 = _sample_momentum(k_mom, dim, dtype, inv_mass)
     grad0, logp0 = grad_fn(q)
-    h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+    h0 = -logp0 + 0.5 * jnp.sum(p0 * _velocity(inv_mass, p0))
 
     def kinetic_vec(psum):
-        return inv_mass * psum
+        return _velocity(inv_mass, psum)
 
     # Tree state carried across doublings.
     class _T(NamedTuple):
@@ -234,7 +263,7 @@ def nuts_kernel(
             qn, pn, gn, logpn = _leapfrog(
                 grad_fn, s.q, s.p, s.grad, eps_signed, inv_mass
             )
-            h = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
+            h = -logpn + 0.5 * jnp.sum(pn * _velocity(inv_mass, pn))
             delta_h = h - h0
             # NaN energy (e.g. a leapfrog that shot into a -inf/NaN-grad
             # region in low precision) counts as a divergence and must not
@@ -263,7 +292,7 @@ def nuts_kernel(
             tz_close = _trailing_zeros(n + 1)
             close_mask = (lvl <= tz_close) & (lvl <= depth)
             span_psum = psum[None, :] - ckpt_psum  # (md, dim)
-            v = inv_mass[None, :] * span_psum
+            v = _velocity_rows(inv_mass, span_psum)
             turn_j = (jnp.sum(v * ckpt_p, axis=1) <= 0) | (
                 jnp.sum(v * pn[None, :], axis=1) <= 0
             )
@@ -362,7 +391,7 @@ def nuts_kernel(
         log_weight = jnp.logaddexp(t.log_weight, s.log_weight)
 
         # Top-level U-turn across the merged trajectory.
-        v = inv_mass * psum
+        v = _velocity(inv_mass, psum)
         turning_top = (jnp.sum(v * p_left) <= 0) | (
             jnp.sum(v * p_right) <= 0
         )
@@ -412,6 +441,7 @@ def _build_segments(
     target_accept,
     axis_name=None,
     warmup_max_tree_depth=None,
+    dense_mass=False,
 ):
     """Jittable warmup/sample segment builders parameterized by data.
 
@@ -425,6 +455,11 @@ def _build_segments(
     uncapped transition there pads every vmapped chain to the deepest
     tree (2^max_tree_depth gradient slots).  Sampling transitions always
     use the full ``max_tree_depth``.
+
+    ``dense_mass`` (static): adapt a full (dim, dim) inverse mass matrix
+    from pooled cross moments instead of the diagonal — the right metric
+    for strongly correlated low-dimensional posteriors (e.g. the 7-param
+    granulation model, whose diagonal-metric ESS efficiency is ~3%).
     """
     from .adaptation import (
         da_init,
@@ -433,7 +468,35 @@ def _build_segments(
         welford_init,
         welford_update,
         welford_variance,
+        welford_cov_init,
+        welford_cov_update,
+        welford_covariance,
     )
+
+    if dense_mass:
+        wf_init = lambda: welford_cov_init(dim, dtype)
+        wf_update = welford_cov_update
+        wf_estimate = welford_covariance
+        im_init = lambda: jnp.eye(dim, dtype=dtype)
+
+        def im_sane(new, old):
+            # A window covariance can be rank-deficient early on; accept
+            # it only if finite with positive diagonal (shrinkage makes
+            # it PD in practice).
+            good = jnp.all(jnp.isfinite(new)) & jnp.all(
+                jnp.diag(new) > 0
+            )
+            return jnp.where(good, new, old)
+    else:
+        wf_init = lambda: welford_init(dim, dtype)
+        wf_update = welford_update
+        wf_estimate = welford_variance
+        im_init = lambda: jnp.ones((dim,), dtype)
+
+        def im_sane(new, old):
+            return jnp.where(
+                jnp.isfinite(new) & (new > 0), new, old
+            )
 
     if warmup_max_tree_depth is None:
         warmup_max_tree_depth = max_tree_depth
@@ -477,22 +540,17 @@ def _build_segments(
         da = da_update(da, pooled_mean(info.accept_prob))
         wf = jax.lax.cond(
             mass_win,
-            lambda w: welford_update(w, qs, axis_name=axis_name),
+            lambda w: wf_update(w, qs, axis_name=axis_name),
             lambda w: w,
             wf,
         )
 
         def close_window(args):
             da, wf, inv_mass = args
-            new_inv_mass = welford_variance(wf)
-            new_inv_mass = jnp.where(
-                jnp.isfinite(new_inv_mass) & (new_inv_mass > 0),
-                new_inv_mass,
-                inv_mass,
-            )
+            new_inv_mass = im_sane(wf_estimate(wf), inv_mass)
             return (
                 da_init(jnp.exp(da.log_step), target_accept),
-                welford_init(dim, dtype),
+                wf_init(),
                 new_inv_mass,
             )
 
@@ -505,10 +563,7 @@ def _build_segments(
         da0 = da_init(
             jnp.asarray(initial_step_size, dtype), target_accept, mu=mu
         )
-        return (
-            init_params, da0, welford_init(dim, dtype),
-            jnp.ones((dim,), dtype),
-        )
+        return (init_params, da0, wf_init(), im_init())
 
     def warmup_segment(data, carry, keys, mass_flags, end_flags):
         """Returns (carry, per-transition pooled accept stats)."""
@@ -544,6 +599,7 @@ def sample_nuts(
     chunk_size=None,
     warmup_max_tree_depth=None,
     progress=None,
+    dense_mass=False,
 ):
     """Vmapped multi-chain NUTS with cross-chain window adaptation.
 
@@ -577,6 +633,11 @@ def sample_nuts(
     leapfrogs/s, acceptance, divergences, step size); a callable
     receives the same dict instead.  Metrics are read on the host
     between device launches — zero cost inside the compiled segments.
+
+    ``dense_mass``: adapt a full (dim, dim) inverse mass matrix from
+    pooled cross moments (Stan-style shrinkage).  Worth it for
+    low-dimensional, strongly correlated posteriors; the per-leapfrog
+    extra cost is one (dim, dim) matvec.
     """
     from .adaptation import da_final, window_boundaries
 
@@ -595,6 +656,7 @@ def sample_nuts(
                 n_chains, dim, dtype, max_tree_depth, target_accept,
                 axis_name,
                 warmup_max_tree_depth=warmup_max_tree_depth,
+                dense_mass=dense_mass,
             )
         )
         warmup_segment = jax.jit(
@@ -613,6 +675,7 @@ def sample_nuts(
     cfg = (
         n_chains, dim, jnp.dtype(dtype).name, max_tree_depth,
         float(target_accept), axis_name, warmup_max_tree_depth,
+        bool(dense_mass),
     )
     init_carry, warmup_segment, sample_segment, pooled_mean, pooled_sum = (
         _cached_segments(logprob_fn, cfg, _make_segments)

@@ -593,6 +593,41 @@ def _blocked_fs_impl(real_, dt, yv, rv, obs, L):
     return mean, var, ll
 
 
+@_partial(jax.jit, static_argnames=("jr", "jc", "L"))
+def _predict_var_device_jit(c_real, c_comp, d_comp, Pinf, H,
+                            t_train, diag, resid, t_test, jitter,
+                            *, jr, jc, L):
+    """Device-side merged-grid predict: sort + scatter + smoother + gather
+    in ONE jitted program.
+
+    The host-side numpy merge of the (n + m)-point train/test grid used
+    to dominate end-to-end predict at N = 1e6 by ~200x (the smoother
+    engine itself is ~10 ms); here the merge is a stable device argsort
+    (train rows sort before coincident test rows because they precede
+    them in the concatenation) and the output gather is the inverse
+    permutation — all static-shaped (reference analog: cholesky.h:599-698
+    merges train/test in-loop).
+    """
+    real_ = _NS(p=jr + 2 * jc, jr=jr, jc=jc, c_real=c_real,
+                c_comp=c_comp, d_comp=d_comp, Pinf=Pinf, H=H)
+    n = t_train.shape[0]
+    t_all = jnp.concatenate([t_train, t_test])
+    order = jnp.argsort(t_all, stable=True)
+    t_s = t_all[order]
+    is_train = order < n
+    src = jnp.where(is_train, order, 0)
+    yv = jnp.where(is_train, resid[src], 0.0)
+    rv = jnp.where(is_train, diag[src] + jitter, 1.0)
+    obs = is_train.astype(t_s.dtype)
+    dt = jnp.concatenate([jnp.zeros((1,), t_s.dtype), jnp.diff(t_s)])
+    mean_s, var_s, _ = _blocked_fs_impl(real_, dt, yv, rv, obs, L)
+    # Position of original index k in the sorted grid; test points are
+    # the tail of the concatenation.
+    inv = jnp.argsort(order, stable=True)
+    test_pos = inv[n:]
+    return mean_s[test_pos], var_s[test_pos]
+
+
 def predict_var_parallel(coeffs, t_train, diag, resid, t_test,
                          block_size=None):
     """Parallel twin of ops/smoother.predict_var (same contract).
@@ -600,7 +635,10 @@ def predict_var_parallel(coeffs, t_train, diag, resid, t_test,
     Uses the two-level blocked filter/smoother — identical results to
     the sequential path, log-depth cross-block composition, and scan
     bodies that compile once (the flat associative-scan variant's first
-    compile was minutes-scale; see blocked_filter_smoother).
+    compile was minutes-scale; see blocked_filter_smoother).  The grid
+    merge runs on device inside the same jitted program
+    (:func:`_predict_var_device_jit`), so warm calls cost engine time
+    plus transfers, not a host sort of n + m points.
     """
     import numpy as np
 
@@ -608,42 +646,15 @@ def predict_var_parallel(coeffs, t_train, diag, resid, t_test,
     if real_ is None:
         raise ValueError("kernel is not independently realizable")
 
-    t_train = np.asarray(t_train, float)
-    t_test = np.asarray(t_test, float)
-    n, m = len(t_train), len(t_test)
-
-    t_all = np.concatenate([t_train, t_test])
-    kind = np.concatenate([np.ones(n), np.zeros(m)])
-    src = np.concatenate([np.arange(n), np.arange(m)])
-    order = np.argsort(t_all, kind="stable")
-    t_s = t_all[order]
-    obs_np = kind[order]
-    src_s = src[order]
-
-    yv = np.zeros(n + m)
-    rv = np.ones(n + m)
-    resid = np.asarray(resid, float)
-    diag = np.asarray(diag, float)
-    jitter = float(np.asarray(coeffs.jitter))
-    train_mask = obs_np == 1
-    yv[train_mask] = resid[src_s[train_mask]]
-    rv[train_mask] = diag[src_s[train_mask]] + jitter
-
-    dt = np.concatenate([[0.0], np.diff(t_s)])
-    mean_s, var_s, _ = blocked_filter_smoother(
-        real_,
-        jnp.asarray(dt),
-        jnp.asarray(yv),
-        jnp.asarray(rv),
-        jnp.asarray(obs_np),
-        block_size=block_size,
+    n = len(np.asarray(t_train))
+    m = len(np.asarray(t_test))
+    L = int(block_size or _default_kalman_block(n + m))
+    mean, var = _predict_var_device_jit(
+        jnp.asarray(real_.c_real), jnp.asarray(real_.c_comp),
+        jnp.asarray(real_.d_comp), jnp.asarray(real_.Pinf),
+        jnp.asarray(real_.H),
+        jnp.asarray(t_train), jnp.asarray(diag), jnp.asarray(resid),
+        jnp.asarray(t_test), jnp.asarray(coeffs.jitter),
+        jr=int(real_.jr), jc=int(real_.jc), L=L,
     )
-    mean_s = np.asarray(mean_s)
-    var_s = np.asarray(var_s)
-
-    test_pos = np.flatnonzero(obs_np == 0)
-    out_mean = np.empty(m)
-    out_var = np.empty(m)
-    out_mean[src_s[test_pos]] = mean_s[test_pos]
-    out_var[src_s[test_pos]] = var_s[test_pos]
-    return out_mean, out_var
+    return np.asarray(mean), np.asarray(var)

@@ -51,6 +51,38 @@ def test_nuts_gaussian_moments():
     assert 0.6 < float(info["accept_prob"]) < 0.99
 
 
+def test_nuts_dense_mass_correlated_gaussian():
+    """Dense metric on an ill-conditioned correlated Gaussian: correct
+    moments with a small fraction of the diagonal-metric leapfrogs."""
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((5, 5))
+    cov = A @ A.T + 0.01 * np.eye(5)
+    w, V = np.linalg.eigh(cov)
+    w[0] *= 1e-3  # condition number ~ 1e4
+    cov = (V * w) @ V.T
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logprob(th):
+        return -0.5 * th @ (prec @ th)
+
+    init = jnp.asarray(rng.standard_normal((4, 5)) * 0.1)
+    results = {}
+    for dm in (False, True):
+        chain, info = sample_nuts(
+            logprob, init, jax.random.PRNGKey(1),
+            num_warmup=500, num_samples=500, dense_mass=dm,
+        )
+        samp = np.asarray(chain).reshape(-1, 5)
+        emp = np.cov(samp.T)
+        err = np.linalg.norm(emp - cov) / np.linalg.norm(cov)
+        assert err < 0.15, (dm, err)
+        results[dm] = int(info["num_steps"])
+    # The whole point of the dense metric: far fewer leapfrogs.
+    assert results[True] * 10 < results[False], results
+    # Dense path reports a (dim, dim) inverse mass.
+    assert info["inv_mass"].shape == (5, 5)
+
+
 def test_hmc_gaussian_moments():
     key = jax.random.PRNGKey(1)
 

@@ -47,8 +47,17 @@ def main():
         help="likelihood/gradient kernels: native f32 or the "
              "double-single exact mode",
     )
+    ap.add_argument(
+        "--cpu-f64", action="store_true",
+        help="run on the host CPU in float64 (attribution experiment: "
+             "is the divergence floor f32 noise or true geometry?)",
+    )
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
+
+    if args.cpu_f64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     from celerite_tpu import GP, terms
     from celerite_tpu.inference.nuts import _build_segments
@@ -97,8 +106,9 @@ def main():
     dtype = jnp.result_type(float)
 
     _lpd = lambda data, th: logprob(th)
-    _vag = logprob.value_and_grad
-    _lpd.value_and_grad = lambda data, th: _vag(th)
+    _vag = getattr(logprob, "value_and_grad", None)
+    if _vag is not None:
+        _lpd.value_and_grad = lambda data, th: _vag(th)
     init_carry, warm_seg, samp_seg, _, _ = _build_segments(
         _lpd, chains, dim, dtype, 8, args.target_accept,
         warmup_max_tree_depth=6, dense_mass=args.dense_mass,

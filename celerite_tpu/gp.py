@@ -152,30 +152,68 @@ class GP(ModelSet):
         self._U = np.empty((0, 0)) if U is None else np.asarray(U)
         self._V = np.empty((0, 0)) if V is None else np.asarray(V)
 
-        coeffs = self.kernel.coefficients
+        self._diag = self._yerr**2
+        self._refactor()
+
+    def _refactor(self):
+        """Re-lower + re-factor with the stored inputs (the hot path of
+        every eager parameter update; no re-validation/re-allocation)."""
+        coeffs, jitter = self._eval_coefficients()
         self.solver.compute(
-            self.kernel.jitter,
+            jitter,
             *coeffs,
             A=self._A,
             U=self._U,
             V=self._V,
-            t=t,
-            diag=self._yerr**2,
+            t=self._t,
+            diag=self._diag,
         )
         self.dirty = False
+
+    def _eval_coefficients(self):
+        """Current kernel coefficients + jitter as NumPy, via a cached
+        CPU-jitted lowering.
+
+        The eager jnp term algebra pays one device dispatch per op — on
+        a remote-runtime backend that is ~200 ms per recompute, swamping
+        the native small-N solve (~0.1 ms).  One jitted call on the host
+        CPU backend costs ~50 us and the padded lowering is exact (the
+        zero-amplitude padding channels contribute nothing to K).
+        """
+        if getattr(self, "_coeff_fn", None) is None:
+            kernel = self.kernel
+            jfn = jax.jit(
+                lambda p: tuple(kernel.get_padded_coefficients(p))
+                + (kernel.get_jitter(p),)
+            )
+            cpu = jax.devices("cpu")[0]
+
+            def _coeff_fn(p):
+                # numpy in -> jit device_puts onto the context default
+                # (host CPU); no explicit asarray round-trip.
+                with jax.default_device(cpu):
+                    return jfn(p)
+
+            self._coeff_fn = _coeff_fn
+        out = self._coeff_fn(
+            self.kernel.get_parameter_vector(include_frozen=True)
+        )
+        return [np.asarray(c) for c in out[:6]], float(out[6])
+
+    def __getstate__(self):
+        # The cached jitted coefficient evaluator closes over compiled
+        # executables; drop it (rebuilt lazily after unpickling).
+        state = self.__dict__.copy()
+        state.pop("_coeff_fn", None)
+        return state
 
     def _recompute(self):
         if not self.computed:
             if self._t is None:
                 raise RuntimeError("you must call 'compute' first")
-            self.compute(
-                self._t,
-                self._yerr,
-                check_sorted=False,
-                A=self._A,
-                U=self._U,
-                V=self._V,
-            )
+            if getattr(self, "_diag", None) is None:
+                self._diag = self._yerr**2
+            self._refactor()
 
     def _process_input(self, y):
         if self._t is None:

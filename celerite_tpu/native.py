@@ -95,6 +95,16 @@ def factor(U, V, phi, A):
     return D, W, rc == 0
 
 
+def matmul(U, V, phi, A, z):
+    """Native K @ z (single column) without factorizing."""
+    lib = _get_lib()
+    U, V, phi, A, z = map(_as_c, (U, V, phi, A, z))
+    n, p = U.shape
+    y = np.empty_like(z)
+    lib.ct_matmul(n, p, U, V, phi, A, z, y)
+    return y
+
+
 def loglike(U, V, phi, A, y):
     """Native fused GP log-likelihood; returns (ll, ok)."""
     lib = _get_lib()
@@ -109,11 +119,20 @@ def loglike(U, V, phi, A, y):
 
 
 class NativeSolver:
-    """Eager CPU solver over pre-lowered (U, V, phi, A) arrays."""
+    """Eager CPU solver over pre-lowered (U, V, phi, A) arrays.
 
-    def __init__(self, U, V, phi, A):
+    Pass precomputed ``D``/``W`` (e.g. from a pickled factor state) to
+    skip re-factorization.
+    """
+
+    def __init__(self, U, V, phi, A, D=None, W=None):
         self.U, self.V, self.phi, self.A = map(_as_c, (U, V, phi, A))
-        self.D, self.W, self.ok = factor(self.U, self.V, self.phi, self.A)
+        if D is not None:
+            self.D, self.W, self.ok = _as_c(D), _as_c(W), True
+        else:
+            self.D, self.W, self.ok = factor(
+                self.U, self.V, self.phi, self.A
+            )
 
     @property
     def log_determinant(self):

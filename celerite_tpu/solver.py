@@ -136,7 +136,11 @@ class CholeskySolver:
     def __init__(self, method="auto"):
         """``method``: "scan" (sequential lax.scan), "blocked"
         (block-parallel — the right choice for large N on accelerators),
-        or "auto" (blocked above 16384 points)."""
+        "native" (the eager C++ core — zero XLA dispatch, f64), or
+        "auto" (native below 4096 points when the toolchain is present
+        — a lone small-N eager eval is dispatch-latency-bound on any
+        accelerator, ~ms through a remote runtime vs ~0.1 ms in the
+        native core; then scan, then blocked above 16384 points)."""
         self._method = method
         self._reset()
 
@@ -144,6 +148,22 @@ class CholeskySolver:
         if self._method == "auto":
             return self._n >= 16384
         return self._method == "blocked"
+
+    def _pick_native(self, n):
+        """Decide the native route at compute time (static per factor)."""
+        from . import native as _native
+
+        if self._method == "native":
+            if not _native.available():
+                raise RuntimeError(
+                    "method='native' requires a working g++ toolchain"
+                )
+            return True
+        return (
+            self._method == "auto"
+            and n < 4096
+            and _native.available()
+        )
 
     def _ops(self):
         if self._use_blocked():
@@ -183,6 +203,7 @@ class CholeskySolver:
         self._coeffs = None
         self._t = None
         self._log_det = None
+        self._native = None
 
     # -- main entry ---------------------------------------------------------
     def compute(
@@ -234,6 +255,41 @@ class CholeskySolver:
             raise ValueError("dimension mismatch")
         if U.shape[0] != V.shape[0]:
             raise ValueError("dimension mismatch")
+
+        if self._pick_native(n):
+            # Eager host path: NumPy lowering + the C++ core — no XLA
+            # dispatch at all (the reference's native-speed small-N
+            # regime, example-stats.tex: 0.26 ms at N=200).
+            from . import native as _nat
+            from .ops.lower import lower_np
+
+            coeffs = Coefficients(
+                a_real=a_real, c_real=c_real, a_comp=a_comp,
+                b_comp=b_comp, c_comp=c_comp, d_comp=d_comp,
+                jitter=float(np.asarray(jitter)),
+            )
+            ssm = lower_np(
+                coeffs, t, diag,
+                A_gen=A if has_general else None,
+                U_gen=U if has_general else None,
+                V_gen=V if has_general else None,
+            )
+            ns = _nat.NativeSolver(*ssm)
+            d = ns.D
+            if not ns.ok or np.any(d < 0):
+                self._computed = False
+                raise LinAlgError("failed to factorize or solve matrix")
+            from .ops.seq import FactorResult
+
+            self._computed = True
+            self._n = n
+            self._ssm = ssm
+            self._fact = FactorResult(D=ns.D, W=ns.W, ok=True)
+            self._coeffs = coeffs
+            self._t = t
+            self._native = ns
+            self._log_det = float(np.sum(np.log(d)))
+            return
 
         coeffs = Coefficients(
             a_real=_as_f64(a_real),
@@ -290,6 +346,13 @@ class CholeskySolver:
         """K^-1 b for b of shape (N,) or (N, nrhs)."""
         self._require_computed()
         b = self._check_rhs(b)
+        if self._native is not None:
+            if b.ndim == 1:
+                return self._native.solve(b)
+            return np.stack(
+                [self._native.solve(b[:, k]) for k in range(b.shape[1])],
+                axis=1,
+            )
         return self._rhs_bucketed(
             self._ops()["solve"], self._ssm, self._fact, b
         )
@@ -300,6 +363,8 @@ class CholeskySolver:
         b = self._check_rhs(b)
         if b.ndim > 1:
             b = b.reshape(self._n)
+        if self._native is not None:
+            return float(b @ self._native.solve(b))
         return float(
             self._ops()["dot_solve"](
                 self._ssm, self._fact, jnp.asarray(b)
@@ -312,6 +377,11 @@ class CholeskySolver:
         z = self._check_rhs(z)
         if z.ndim == 1:
             z = z[:, None]
+        if self._native is not None:
+            return np.stack(
+                [self._native.dot_L(z[:, k]) for k in range(z.shape[1])],
+                axis=1,
+            )
         return self._rhs_bucketed(
             self._ops()["dot_L"], self._ssm, self._fact, z
         )
@@ -341,14 +411,34 @@ class CholeskySolver:
         U = np.empty((0, 0)) if U is None else np.atleast_2d(np.asarray(U))
         V = np.empty((0, 0)) if V is None else np.atleast_2d(np.asarray(V))
         has_general = A.shape[0] != 0
-        coeffs = Coefficients(
+        coeffs_np = Coefficients(
             *(
-                _as_f64(np.atleast_1d(np.asarray(v, dtype=float)))
+                np.atleast_1d(np.asarray(v, dtype=float))
                 for v in (a_real, c_real, a_comp, b_comp, c_comp, d_comp)
             ),
-            jitter=_as_f64(jitter),
+            jitter=float(np.asarray(jitter)),
         )
         # `dot` uses a zero yerr diagonal: A = kernel diag + jitter (+ A_gen)
+        if self._pick_native(t.shape[0]):
+            from . import native as _nat
+            from .ops.lower import lower_np
+
+            ssm_np = lower_np(
+                coeffs_np, t, np.zeros(t.shape[0]),
+                A_gen=A if has_general else None,
+                U_gen=U if has_general else None,
+                V_gen=V if has_general else None,
+            )
+            if squeeze:
+                return _nat.matmul(*ssm_np, z)
+            return np.stack(
+                [_nat.matmul(*ssm_np, z[:, k]) for k in range(z.shape[1])],
+                axis=1,
+            )
+        coeffs = Coefficients(
+            *(_as_f64(v) for v in coeffs_np[:6]),
+            jitter=_as_f64(coeffs_np.jitter),
+        )
         ssm = lower(
             coeffs,
             _as_f64(t),
@@ -375,7 +465,12 @@ class CholeskySolver:
         y = self._check_rhs(np.atleast_1d(y))
         x = np.ascontiguousarray(np.atleast_1d(x), dtype=float)
         blocked = self._use_blocked()
-        alpha = self._ops()["solve"](self._ssm, self._fact, jnp.asarray(y))
+        if self._native is not None:
+            alpha = jnp.asarray(self._native.solve(y))
+        else:
+            alpha = self._ops()["solve"](
+                self._ssm, self._fact, jnp.asarray(y)
+            )
         return np.asarray(
             _predict_parallel(
                 self._coeffs, jnp.asarray(self._t), alpha, jnp.asarray(x)

@@ -187,6 +187,15 @@ def main():
         except Exception as e:  # OOM / compile limits: record + move on
             print(f"P={P} N={n}: FAIL {type(e).__name__}: {e}",
                   flush=True)
+            rows.append(dict(
+                P=P, N=n, backend=backend, ll_ms="", vag_ms="",
+                rel_err_vs_f64="",
+                ceiling_reason=(
+                    f"{type(e).__name__}: {str(e)[:120]}".replace(
+                        ",", ";"
+                    ).replace("\n", " ")
+                ),
+            ))
             over_budget.add(P)
             continue
         rel = (
@@ -198,18 +207,24 @@ def main():
             ll_ms=round(1e3 * t_ll, 3),
             vag_ms=round(1e3 * t_vg, 3),
             rel_err_vs_f64=f"{rel:.2e}" if np.isfinite(rel) else "",
+            ceiling_reason="",
         )
-        rows.append(row)
-        print(row, flush=True)
         if (t_ll + t_vg) > args.budget:
             over_budget.add(P)
+            row["ceiling_reason"] = (
+                f"budget: ll+vag {t_ll + t_vg:.1f}s > {args.budget}s;"
+                f" larger N skipped (reference run.py early-exit"
+                f" semantics)"
+            )
+        rows.append(row)
+        print(row, flush=True)
 
     import csv
 
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(
             f, fieldnames=["P", "N", "backend", "ll_ms", "vag_ms",
-                           "rel_err_vs_f64"]
+                           "rel_err_vs_f64", "ceiling_reason"]
         )
         w.writeheader()
         w.writerows(rows)

@@ -593,38 +593,56 @@ def _blocked_fs_impl(real_, dt, yv, rv, obs, L):
     return mean, var, ll
 
 
-@_partial(jax.jit, static_argnames=("jr", "jc", "L"))
+@_partial(jax.jit, static_argnames=("jr", "jc", "L", "sorted_test"))
 def _predict_var_device_jit(c_real, c_comp, d_comp, Pinf, H,
                             t_train, diag, resid, t_test, jitter,
-                            *, jr, jc, L):
-    """Device-side merged-grid predict: sort + scatter + smoother + gather
-    in ONE jitted program.
+                            *, jr, jc, L, sorted_test=False):
+    """Device-side merged-grid predict: merge + scatter + smoother +
+    gather in ONE jitted program.
 
     The host-side numpy merge of the (n + m)-point train/test grid used
     to dominate end-to-end predict at N = 1e6 by ~200x (the smoother
-    engine itself is ~10 ms); here the merge is a stable device argsort
-    (train rows sort before coincident test rows because they precede
-    them in the concatenation) and the output gather is the inverse
-    permutation — all static-shaped (reference analog: cholesky.h:599-698
-    merges train/test in-loop).
+    engine itself is ~10 ms).  With ``sorted_test`` (the common case —
+    checked host-side) the merge is two vectorized ``searchsorted``
+    binary searches + scatters, O((n+m) log) with no device sort; ties
+    place the train point first, matching the stable-argsort semantics.
+    Unsorted test grids fall back to a stable device argsort.  All
+    static-shaped (reference analog: cholesky.h:599-698 merges
+    train/test in-loop).
     """
     real_ = _NS(p=jr + 2 * jc, jr=jr, jc=jc, c_real=c_real,
                 c_comp=c_comp, d_comp=d_comp, Pinf=Pinf, H=H)
     n = t_train.shape[0]
-    t_all = jnp.concatenate([t_train, t_test])
-    order = jnp.argsort(t_all, stable=True)
-    t_s = t_all[order]
-    is_train = order < n
-    src = jnp.where(is_train, order, 0)
-    yv = jnp.where(is_train, resid[src], 0.0)
-    rv = jnp.where(is_train, diag[src] + jitter, 1.0)
-    obs = is_train.astype(t_s.dtype)
+    m = t_test.shape[0]
+    dtype = t_train.dtype
+    if sorted_test:
+        # Global position of train[i]: i + #{test < train[i]} (test
+        # ties go after train); of test[j]: j + #{train <= test[j]}.
+        pos_train = jnp.arange(n) + jnp.searchsorted(
+            t_test, t_train, side="left"
+        )
+        test_pos = jnp.arange(m) + jnp.searchsorted(
+            t_train, t_test, side="right"
+        )
+        nm = n + m
+        t_s = jnp.zeros((nm,), dtype).at[pos_train].set(t_train)
+        t_s = t_s.at[test_pos].set(t_test)
+        yv = jnp.zeros((nm,), resid.dtype).at[pos_train].set(resid)
+        rv = jnp.ones((nm,), dtype).at[pos_train].set(diag + jitter)
+        obs = jnp.zeros((nm,), dtype).at[pos_train].set(1.0)
+    else:
+        t_all = jnp.concatenate([t_train, t_test])
+        order = jnp.argsort(t_all, stable=True)
+        t_s = t_all[order]
+        is_train = order < n
+        src = jnp.where(is_train, order, 0)
+        yv = jnp.where(is_train, resid[src], 0.0)
+        rv = jnp.where(is_train, diag[src] + jitter, 1.0)
+        obs = is_train.astype(t_s.dtype)
+        inv = jnp.argsort(order, stable=True)
+        test_pos = inv[n:]
     dt = jnp.concatenate([jnp.zeros((1,), t_s.dtype), jnp.diff(t_s)])
     mean_s, var_s, _ = _blocked_fs_impl(real_, dt, yv, rv, obs, L)
-    # Position of original index k in the sorted grid; test points are
-    # the tail of the concatenation.
-    inv = jnp.argsort(order, stable=True)
-    test_pos = inv[n:]
     return mean_s[test_pos], var_s[test_pos]
 
 
@@ -649,12 +667,25 @@ def predict_var_parallel(coeffs, t_train, diag, resid, t_test,
     n = len(np.asarray(t_train))
     m = len(np.asarray(t_test))
     L = int(block_size or _default_kalman_block(n + m))
+    # Pre-cast large arrays with numpy before device_put: jax's own
+    # f64 -> f32 conversion path costs ~20x a plain cast + upload
+    # (measured 148 ms vs ~6 ms for 1e6 points through the tunnel).
+    dtype = np.dtype(jnp.result_type(float))
+
+    def put(x):
+        return jnp.asarray(np.asarray(x, dtype))
+
+    # sorted_test=False (stable device argsort) is the production path:
+    # the searchsorted+scatter variant is algebraically cheaper but 3x
+    # SLOWER on v5e (329 vs 105 ms at n=m=1e6 — TPU scatters serialize;
+    # XLA's bitonic sort is well tiled).  Kept selectable for future
+    # hardware where the tradeoff flips; results are bit-identical.
     mean, var = _predict_var_device_jit(
-        jnp.asarray(real_.c_real), jnp.asarray(real_.c_comp),
-        jnp.asarray(real_.d_comp), jnp.asarray(real_.Pinf),
-        jnp.asarray(real_.H),
-        jnp.asarray(t_train), jnp.asarray(diag), jnp.asarray(resid),
-        jnp.asarray(t_test), jnp.asarray(coeffs.jitter),
+        put(real_.c_real), put(real_.c_comp),
+        put(real_.d_comp), put(real_.Pinf), put(real_.H),
+        put(t_train), put(diag), put(resid),
+        put(t_test), put(coeffs.jitter),
         jr=int(real_.jr), jc=int(real_.jc), L=L,
+        sorted_test=False,
     )
     return np.asarray(mean), np.asarray(var)

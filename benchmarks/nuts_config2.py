@@ -48,6 +48,14 @@ def main():
              "double-single exact mode",
     )
     ap.add_argument(
+        "--sampler", choices=["nuts", "hmc"], default="nuts",
+        help="sampling-phase kernel (warmup adaptation is always "
+             "NUTS).  hmc: fixed-budget jittered trajectories - no "
+             "per-chain tree-depth variance, so vmapped chains stay in "
+             "lockstep with zero padding waste",
+    )
+    ap.add_argument("--hmc-leapfrog", type=int, default=16)
+    ap.add_argument(
         "--cpu-f64", action="store_true",
         help="run on the host CPU in float64 (attribution experiment: "
              "is the divergence floor f32 noise or true geometry?)",
@@ -116,9 +124,40 @@ def main():
     warm = jax.jit(
         lambda c, k, mf, ef: warm_seg(None, c, k, mf, ef)
     )
-    samp = jax.jit(
-        lambda qs, k, eps, im: samp_seg(None, qs, k, eps, im)
-    )
+    if args.sampler == "hmc":
+        from jax import lax
+
+        from celerite_tpu.inference.hmc import hmc_kernel
+
+        L = args.hmc_leapfrog
+        _hmc_lp = lambda th: logprob(th)
+        if _vag is not None:
+            _hmc_lp.value_and_grad = _vag
+
+        def hmc_segment(qs, keys, eps, im):
+            def one_step(qs, key):
+                ks = jax.random.split(key, chains)
+                qs, info = jax.vmap(
+                    lambda q, k: hmc_kernel(
+                        _hmc_lp, q, k, eps, im, num_leapfrog=L,
+                    )
+                )(qs, ks)
+                # same output tuple shape as the NUTS sample segment:
+                # (chain, accept, divergences, steps, energy)
+                return qs, (
+                    qs, info.accept_prob,
+                    jnp.zeros_like(info.accepted),
+                    jnp.full((chains,), L, jnp.int32),
+                    info.energy,
+                )
+
+            return lax.scan(one_step, qs, keys)
+
+        samp = jax.jit(hmc_segment)
+    else:
+        samp = jax.jit(
+            lambda qs, k, eps, im: samp_seg(None, qs, k, eps, im)
+        )
 
     init = jnp.asarray(
         gp.get_parameter_vector()[None, :]
@@ -217,6 +256,10 @@ def main():
         "target_accept": args.target_accept,
         "dense_mass": bool(args.dense_mass),
         "precision": args.precision,
+        "sampler": args.sampler,
+        "hmc_leapfrog": (
+            args.hmc_leapfrog if args.sampler == "hmc" else None
+        ),
         "warmup_wall_s": round(t_warm, 2),
         "sampling_wall_s": round(t_samp, 2),
         "compile_wall_s": round(t_compile_warm + t_compile_samp, 2),

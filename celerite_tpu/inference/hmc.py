@@ -33,19 +33,27 @@ def hmc_kernel(
     num_leapfrog=16,
     jitter=True,
 ):
-    """One HMC transition; returns (q_new, HMCInfo)."""
+    """One HMC transition; returns (q_new, HMCInfo).
+
+    ``inv_mass`` may be a (dim,) diagonal or a dense (dim, dim) inverse
+    mass matrix (same metric semantics as :mod:`.nuts`).
+    """
+    from .nuts import _sample_momentum, _velocity
+
     dim = q.shape[0]
     dtype = q.dtype
-    inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (dim,))
+    inv_mass = jnp.asarray(inv_mass, dtype)
+    if inv_mass.ndim < 2:
+        inv_mass = jnp.broadcast_to(inv_mass, (dim,))
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
 
     vag = getattr(
         logprob_fn, "value_and_grad", jax.value_and_grad(logprob_fn)
     )
 
-    p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    p0 = _sample_momentum(k_mom, dim, dtype, inv_mass)
     logp0, grad0 = vag(q)
-    h0 = -logp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+    h0 = -logp0 + 0.5 * jnp.sum(p0 * _velocity(inv_mass, p0))
 
     n_steps = jnp.asarray(num_leapfrog, jnp.int32)
     if jitter:
@@ -56,16 +64,17 @@ def hmc_kernel(
     eps = jnp.asarray(step_size, dtype)
 
     def leap(i, carry):
-        qq, pp, gg = carry
+        qq, pp, gg, lp = carry
         pp = pp + 0.5 * eps * gg  # gg = grad logp
-        qq = qq + eps * inv_mass * pp
+        qq = qq + eps * _velocity(inv_mass, pp)
         lp, gg = vag(qq)
         pp = pp + 0.5 * eps * gg
-        return (qq, pp, gg)
+        return (qq, pp, gg, lp)
 
-    qn, pn, gn = lax.fori_loop(0, n_steps, leap, (q, p0, grad0))
-    logpn = logprob_fn(qn)
-    h1 = -logpn + 0.5 * jnp.sum(inv_mass * pn * pn)
+    qn, pn, gn, logpn = lax.fori_loop(
+        0, n_steps, leap, (q, p0, grad0, logp0)
+    )
+    h1 = -logpn + 0.5 * jnp.sum(pn * _velocity(inv_mass, pn))
     log_accept = jnp.minimum(0.0, h0 - h1)
     log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
     accept = jnp.log(jax.random.uniform(k_acc, (), dtype)) < log_accept

@@ -320,3 +320,40 @@ def test_dual_ds_gradient_adversarial_misfit():
     assert bool(ok)
     dev = np.linalg.norm(np.asarray(grad, np.float64) - g64)
     assert dev / np.linalg.norm(g64) < 1e-4
+
+
+def test_build_logprob_precision_ds_sampler_contract():
+    """build_logprob(precision='ds') exposes the fused value_and_grad
+    the samplers consume, with -inf-safe semantics and ds-class
+    gradient accuracy."""
+    rng = np.random.default_rng(1)
+    N = 2048
+    t = np.sort(rng.uniform(0, 30.0, N))
+    y = np.sin(t) + 0.2 * rng.standard_normal(N)
+    gp = GP(terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3))
+    lp = gp.build_logprob(t, y, yerr=0.2, precision="ds")
+    assert hasattr(lp, "value_and_grad")
+    th = jnp.asarray(gp.get_parameter_vector(), jnp.float32)
+    val, grad = lp.value_and_grad(th)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # Agreement with f64 AD of the plain logprob.
+    lp64 = gp.build_logprob(t, y, yerr=0.2)
+    v64, g64 = jax.value_and_grad(lp64)(th.astype(jnp.float64))
+    np.testing.assert_allclose(float(val), float(v64), rtol=1e-6)
+    rel = np.linalg.norm(
+        np.asarray(grad, np.float64) - np.asarray(g64)
+    ) / np.linalg.norm(np.asarray(g64))
+    assert rel < 1e-5, rel
+
+    # Out-of-box prior region must report -inf, zero grad.
+    gp2 = GP(terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3,
+                           bounds=dict(log_S0=(-1.0, 1.0),
+                                       log_Q=(0.0, 2.0),
+                                       log_omega0=(-1.0, 1.0))))
+    lp3 = gp2.build_logprob(t, y, yerr=0.2, precision="ds")
+    bad = jnp.asarray([5.0, 1.0, 0.3], jnp.float32)
+    vb, gb = lp3.value_and_grad(bad)
+    assert float(vb) == -np.inf
+    assert np.all(np.asarray(gb) == 0.0)

@@ -123,6 +123,37 @@ def test_sharded_nuts_gaussian():
     assert 0.5 < float(info["accept_prob"]) <= 1.0
 
 
+@pytest.mark.slow
+def test_sharded_nuts_dense_mass():
+    """dense_mass composes with chain sharding: the cross-moment
+    Welford psums pool over the mesh axis and every device adapts the
+    same (dim, dim) metric."""
+    require_devices(8)
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, 3))
+    cov = A @ A.T + 0.05 * np.eye(3)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logprob(x):
+        return -0.5 * x @ prec @ x
+
+    mesh = mesh_lib.make_mesh(8)
+    init = jnp.asarray(rng.standard_normal((16, 3)) * 0.1)
+    chain, info = sample_nuts_sharded(
+        logprob, init, jax.random.PRNGKey(1), mesh=mesh,
+        num_warmup=300, num_samples=300, dense_mass=True,
+    )
+    assert info["inv_mass"].shape == (3, 3)
+    s = np.asarray(chain).reshape(-1, 3)
+    emp = np.cov(s.T)
+    err = np.linalg.norm(emp - cov) / np.linalg.norm(cov)
+    assert err < 0.25, err
+    # The adapted metric approximates the target covariance.
+    im = np.asarray(info["inv_mass"])
+    err_m = np.linalg.norm(im - cov) / np.linalg.norm(cov)
+    assert err_m < 0.5, err_m
+
+
 def test_sharded_chain_step_collective():
     require_devices(8)
     mesh = mesh_lib.make_mesh(8)

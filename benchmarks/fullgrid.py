@@ -171,18 +171,20 @@ def main():
             backend = "blocked"
 
         print(f"... P={P} N={n} ({backend}): compiling", flush=True)
+
+        def _reason(tag, e):
+            return (
+                f"{tag}: {type(e).__name__}: {str(e)[:110]}".replace(
+                    ",", ";"
+                ).replace("\n", " ")
+            )
+
+        th = jnp.asarray(
+            gp.get_parameter_vector(), jnp.result_type(float)
+        )
         try:
             ll = jax.jit(gp.build_loglik(t, y, yerr=yerr))
-            lp = gp.build_logprob(t, y, yerr=yerr)
-            vag = jax.jit(
-                getattr(lp, "value_and_grad", None)
-                or jax.value_and_grad(lp)
-            )
-            th = jnp.asarray(
-                gp.get_parameter_vector(), jnp.result_type(float)
-            )
             t_ll = timer(ll, th, sync=sync)
-            t_vg = timer(vag, th, sync=sync)
             val = float(np.asarray(ll(th)[0]))
         except Exception as e:  # OOM / compile limits: record + move on
             print(f"P={P} N={n}: FAIL {type(e).__name__}: {e}",
@@ -190,14 +192,25 @@ def main():
             rows.append(dict(
                 P=P, N=n, backend=backend, ll_ms="", vag_ms="",
                 rel_err_vs_f64="",
-                ceiling_reason=(
-                    f"{type(e).__name__}: {str(e)[:120]}".replace(
-                        ",", ";"
-                    ).replace("\n", " ")
-                ),
+                ceiling_reason=_reason("primal", e),
             ))
             over_budget.add(P)
             continue
+        # The gradient program can exceed compile limits the primal
+        # fits under (wide blocked-AD cells); keep the primal cell.
+        vag_reason = ""
+        try:
+            lp = gp.build_logprob(t, y, yerr=yerr)
+            vag = jax.jit(
+                getattr(lp, "value_and_grad", None)
+                or jax.value_and_grad(lp)
+            )
+            t_vg = timer(vag, th, sync=sync)
+        except Exception as e:
+            print(f"P={P} N={n}: vag FAIL {type(e).__name__}",
+                  flush=True)
+            t_vg = None
+            vag_reason = _reason("vag", e)
         rel = (
             abs(val - ll64) / max(abs(ll64), 1.0)
             if ll64 is not None else float("nan")
@@ -205,16 +218,17 @@ def main():
         row = dict(
             P=P, N=n, backend=backend,
             ll_ms=round(1e3 * t_ll, 3),
-            vag_ms=round(1e3 * t_vg, 3),
+            vag_ms="" if t_vg is None else round(1e3 * t_vg, 3),
             rel_err_vs_f64=f"{rel:.2e}" if np.isfinite(rel) else "",
-            ceiling_reason="",
+            ceiling_reason=vag_reason,
         )
-        if (t_ll + t_vg) > args.budget:
+        if (t_ll + (t_vg or 0.0)) > args.budget:
             over_budget.add(P)
             row["ceiling_reason"] = (
-                f"budget: ll+vag {t_ll + t_vg:.1f}s > {args.budget}s;"
-                f" larger N skipped (reference run.py early-exit"
-                f" semantics)"
+                (vag_reason + "; " if vag_reason else "")
+                + f"budget: {t_ll + (t_vg or 0.0):.1f}s > "
+                f"{args.budget}s; larger N skipped (reference run.py "
+                f"early-exit semantics)"
             )
         rows.append(row)
         print(row, flush=True)

@@ -136,10 +136,18 @@ def main():
 
         def hmc_segment(qs, keys, eps, im):
             def one_step(qs, key):
+                # ONE jittered trajectory length per transition, shared
+                # by every chain: per-chain jitter under vmap pays the
+                # max length while using the mean (the same padding
+                # waste NUTS trees have); a shared draw keeps the
+                # resonance-avoiding decorrelation with zero padding.
+                k_n, key = jax.random.split(key)
+                n = jax.random.randint(k_n, (), L // 2 + 1, L + 1)
                 ks = jax.random.split(key, chains)
                 qs, info = jax.vmap(
                     lambda q, k: hmc_kernel(
-                        _hmc_lp, q, k, eps, im, num_leapfrog=L,
+                        _hmc_lp, q, k, eps, im, num_leapfrog=n,
+                        jitter=False,
                     )
                 )(qs, ks)
                 # same output tuple shape as the NUTS sample segment:
@@ -255,7 +263,8 @@ def main():
         "dim": dim,
         "target_accept": args.target_accept,
         "dense_mass": bool(args.dense_mass),
-        "precision": args.precision,
+        "precision": "f64" if args.cpu_f64 else args.precision,
+        "platform": jax.default_backend(),
         "sampler": args.sampler,
         "hmc_leapfrog": (
             args.hmc_leapfrog if args.sampler == "hmc" else None

@@ -44,6 +44,8 @@ def make_batch(n_curves, seed=4):
     from celerite_tpu.ops.lower import Coefficients
     from celerite_tpu.ops.smoother import sample_prior
 
+    import jax
+
     rng = np.random.default_rng(seed)
     coeffs = Coefficients(
         a_real=np.zeros(0), c_real=np.zeros(0),
@@ -53,16 +55,19 @@ def make_batch(n_curves, seed=4):
     )
     ts, ys, es = [], [], []
     lengths = rng.integers(96, 161, n_curves)
-    # One prior sample per distinct length (sample_prior compiles per
-    # shape); curves of equal length get independent draws via seeds.
-    for i, n in enumerate(lengths):
-        t = np.arange(n, dtype=float)  # Delta = 1: exact aliasing
-        e = np.full(n, 0.3)
-        y = np.asarray(sample_prior(coeffs, t, seed=seed + i))
-        y = y + e * rng.standard_normal(n)
-        ts.append(t)
-        ys.append(y)
-        es.append(e)
+    # Prior draws run on the host CPU backend: one draw per curve
+    # through a remote accelerator costs ~70 ms of round trips each
+    # (measured: 705 s for 10k curves); eager CPU is ~ms.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for i, n in enumerate(lengths):
+            t = np.arange(n, dtype=float)  # Delta = 1: exact aliasing
+            e = np.full(n, 0.3)
+            y = np.asarray(sample_prior(coeffs, t, seed=seed + i))
+            y = y + e * rng.standard_normal(n)
+            ts.append(t)
+            ys.append(y)
+            es.append(e)
     return LightCurveBatch.from_ragged(ts, ys, es)
 
 

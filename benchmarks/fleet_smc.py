@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--particles", type=int, default=512)
     ap.add_argument("--mutations", type=int, default=3)
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="particles per sequential slab (bounds the "
+                         "fleet-gradient saves memory: ~117 MB/particle "
+                         "at 10k curves)")
     ap.add_argument("--out", type=str,
                     default="benchmarks/results/fleet_smc_tpu.json")
     args = ap.parse_args()
@@ -131,6 +135,7 @@ def main():
     res = sample_smc_sharded(
         log_prior, log_like, init, jax.random.PRNGKey(args.seed),
         mesh=mesh, num_mutations=args.mutations, hmc_step_size=0.02,
+        particle_chunk=args.chunk,
     )
     parts = np.asarray(res.particles)
     wall = time.perf_counter() - t0

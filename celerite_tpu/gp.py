@@ -180,7 +180,13 @@ class GP(ModelSet):
         CPU backend costs ~50 us and the padded lowering is exact (the
         zero-amplitude padding channels contribute nothing to K).
         """
-        if getattr(self, "_coeff_fn", None) is None:
+        # Key the cache on the kernel object's identity: replacing (or
+        # structurally mutating by swapping) gp.kernel must rebuild the
+        # lowering even when the parameter-vector arity is unchanged.
+        if (
+            getattr(self, "_coeff_fn", None) is None
+            or getattr(self, "_coeff_fn_kernel_id", None) != id(self.kernel)
+        ):
             kernel = self.kernel
             jfn = jax.jit(
                 lambda p: tuple(kernel.get_padded_coefficients(p))
@@ -195,6 +201,7 @@ class GP(ModelSet):
                     return jfn(p)
 
             self._coeff_fn = _coeff_fn
+            self._coeff_fn_kernel_id = id(kernel)
         out = self._coeff_fn(
             self.kernel.get_parameter_vector(include_frozen=True)
         )
@@ -205,6 +212,7 @@ class GP(ModelSet):
         # executables; drop it (rebuilt lazily after unpickling).
         state = self.__dict__.copy()
         state.pop("_coeff_fn", None)
+        state.pop("_coeff_fn_kernel_id", None)
         return state
 
     def _recompute(self):
@@ -343,11 +351,6 @@ class GP(ModelSet):
                 "precision must be None or 'ds', got {0!r}".format(precision)
             )
         if precision == "ds":
-            if self._A is not None and np.size(self._A) > 0:
-                raise ValueError(
-                    "precision='ds' does not support general (A, U, V) "
-                    "blocks; use solver='blocked' or the dense path"
-                )
             from .ops import dsa as _dsa
             from .ops import dsblocked as _dsb
             from .ops import dslower as _dsl
@@ -358,6 +361,24 @@ class GP(ModelSet):
             dt_ds = _dsa.from_f64(
                 np.concatenate([[0.0], np.diff(t_np)])
             )
+            # General (A, U, V) blocks are static data: exact f64 ds
+            # splits, lowered as phi=1 lanes with zero tangents
+            # (cholesky.h:148-152 takes them in-loop in f64; this is
+            # the ds-mode equivalent).
+            _has_gen = self._A is not None and np.size(self._A) > 0
+            gen_kw = {}
+            if _has_gen:
+                gen_kw = dict(
+                    A_gen=_dsa.from_f64(
+                        np.asarray(self._A, np.float64)
+                    ),
+                    U_gen=_dsa.from_f64(
+                        np.asarray(self._U, np.float64)
+                    ),
+                    V_gen=_dsa.from_f64(
+                        np.asarray(self._V, np.float64)
+                    ),
+                )
             diag32 = jnp.asarray(diag, jnp.float32)
             y32 = jnp.asarray(y, jnp.float32)
             T_dim = int(mask.sum())
@@ -394,7 +415,7 @@ class GP(ModelSet):
                 ]
                 ssm_dual = _dsl.lower_ds(
                     coeffs, t_ds, dt_ds, diag32,
-                    coeff_tangents=tangents,
+                    coeff_tangents=tangents, **gen_kw,
                 )
                 resid = _resid(theta)
                 _mean_active = len(idx) > 0 and int(idx.max()) >= nk
@@ -411,7 +432,9 @@ class GP(ModelSet):
 
             @jax.custom_vjp
             def loglik_ds(theta):
-                ssm_ds = _dsl.lower_ds(_cf(theta), t_ds, dt_ds, diag32)
+                ssm_ds = _dsl.lower_ds(
+                    _cf(theta), t_ds, dt_ds, diag32, **gen_kw
+                )
                 return _dsb.gp_log_likelihood(
                     ssm_ds, _resid(theta), block_size=block_size
                 )

@@ -481,10 +481,15 @@ def _build_segments(
 
         def im_sane(new, old):
             # A window covariance can be rank-deficient early on; accept
-            # it only if finite with positive diagonal (shrinkage makes
-            # it PD in practice).
-            good = jnp.all(jnp.isfinite(new)) & jnp.all(
-                jnp.diag(new) > 0
+            # it only if finite, with positive diagonal, AND with a
+            # finite Cholesky factor — a non-PD matrix slipping through
+            # would NaN every subsequent momentum draw and silently
+            # stall the chains rather than error.
+            chol = jnp.linalg.cholesky(new)
+            good = (
+                jnp.all(jnp.isfinite(new))
+                & jnp.all(jnp.diag(new) > 0)
+                & jnp.all(jnp.isfinite(chol))
             )
             return jnp.where(good, new, old)
     else:

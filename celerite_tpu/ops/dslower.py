@@ -68,6 +68,9 @@ def lower_ds(
     dt: DS,
     diag,
     coeff_tangents: Optional[Sequence[Coefficients]] = None,
+    A_gen=None,
+    U_gen=None,
+    V_gen=None,
 ) -> SSMDS:
     """Build ds (U, V, phi, A) for sorted coordinates.
 
@@ -83,6 +86,14 @@ def lower_ds(
     arrays shaped like ``coeffs``) holding d(coeff)/d(theta_j); the
     returned streams are then :class:`dsa.DD` duals whose tangents are
     computed in ds arithmetic throughout.
+
+    ``A_gen``/``U_gen``/``V_gen``: optional general semiseparable
+    blocks in the reference convention (A_gen: (N,), U/V_gen:
+    (J_general, N); cholesky.h:148-152).  General columns are phi=1
+    lanes of the same SSM, so they join the ds streams directly: pass
+    each as a :class:`DS` pair (exact f64 split, since they are static
+    data) or a plain f32 array.  They carry no coefficient tangents
+    (the blocks are data, not functions of theta).
     """
     a_real, c_real, a_comp, b_comp, c_comp, d_comp, jitter = coeffs
     n = t.hi.shape[0]
@@ -155,6 +166,27 @@ def lower_ds(
         parts_v.append(interleave(cos, sin))
         parts_p.append(interleave(p_half, p_half))
 
+    def _as_ds(x):
+        """Accept a precomputed DS split or a plain array (-> zero lo)."""
+        if isinstance(x, DS):
+            return jtu.tree_map(lambda a: a.astype(dtype), x)
+        return dsa.from_f32(jnp.asarray(x, dtype))
+
+    has_general = U_gen is not None and (
+        (U_gen.hi if isinstance(U_gen, DS) else jnp.asarray(U_gen)).shape[0]
+        > 0
+    )
+    if has_general:
+        # General columns: phi = 1 exactly (DS one has zero lo word),
+        # U/V transposed from the reference (J_general, N) layout.
+        tr = lambda x: jtu.tree_map(lambda a: a.T, x)
+        parts_u.append(lift(tr(_as_ds(U_gen))))
+        parts_v.append(lift(tr(_as_ds(V_gen))))
+        jg = (
+            U_gen.hi if isinstance(U_gen, DS) else jnp.asarray(U_gen)
+        ).shape[0]
+        parts_p.append(lift(dsa.from_f32(jnp.ones((n, jg), dtype))))
+
     if parts_u:
         def cat(parts):
             return jtu.tree_map(
@@ -185,4 +217,6 @@ def lower_ds(
         A = dsa.add(bcast_n, diag)
     else:
         A = dsa.add_f(bcast_n, jnp.asarray(diag, dtype))
+    if has_general and A_gen is not None:
+        A = dsa.add(A, lift(_as_ds(A_gen)))
     return SSMDS(U=U, V=V, phi=phi, A=A)

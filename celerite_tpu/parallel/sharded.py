@@ -308,6 +308,7 @@ def sample_smc_sharded(
     num_leapfrog=8,
     target_ess_frac=0.5,
     max_stages=50,
+    particle_chunk=None,
 ):
     """Adaptive-tempering SMC with particles sharded over the mesh.
 
@@ -323,6 +324,14 @@ def sample_smc_sharded(
       this is the bandwidth-cheap variant (SURVEY.md 5.8).
 
     Returns an inference.smc.SMCResult with particles sharded back out.
+
+    ``particle_chunk``: evaluate per-particle likelihoods/mutations in
+    sequential chunks of this size (lax.map over chunks of vmap) instead
+    of one flat vmap.  Required at fleet scale: a fleet-folded gradient
+    kernel stores per-step saves proportional to the curve count, so a
+    flat vmap over n particles materializes n copies at once (measured:
+    512 particles x 10k curves wants a 33.5 GB saves buffer — past HBM).
+    Must divide the per-device particle count.
     """
     from ..inference.hmc import hmc_kernel
     from ..inference.smc import SMCResult
@@ -340,11 +349,37 @@ def sample_smc_sharded(
             "number of particles must be divisible by the mesh size"
         )
 
+    def _chunked_vmap(f):
+        """vmap over the particle axis, in sequential particle_chunk
+        slabs (lax.map over chunks) to bound per-eval memory."""
+        if particle_chunk is None:
+            return jax.vmap(f)
+
+        def g(*args):
+            n = args[0].shape[0]
+            c = min(particle_chunk, n)
+            if n % c:
+                raise ValueError(
+                    "particle_chunk must divide the per-device "
+                    "particle count"
+                )
+            if c == n:
+                return jax.vmap(f)(*args)
+            resh = lambda a: a.reshape((n // c, c) + a.shape[1:])
+            out = lax.map(
+                lambda xs: jax.vmap(f)(*xs), tuple(map(resh, args))
+            )
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n,) + a.shape[2:]), out
+            )
+
+        return g
+
     def local(particles, key):
         dtype = particles.dtype
         n_loc = particles.shape[0]
         key = jax.random.fold_in(key, 0)  # same stream on every device
-        vlike = jax.vmap(log_like_fn)
+        vlike = _chunked_vmap(log_like_fn)
 
         def safe(x):
             return jnp.where(jnp.isfinite(x), x, -1e12)
@@ -434,7 +469,7 @@ def sample_smc_sharded(
             keys = jax.random.split(
                 jax.random.fold_in(key, my), n_loc
             )
-            return jax.vmap(one)(particles, keys)
+            return _chunked_vmap(one)(particles, keys)
 
         def stage(state):
             key, particles, beta, log_z, k_stage, accept, step = state

@@ -256,6 +256,11 @@ class CholeskySolver:
         if U.shape[0] != V.shape[0]:
             raise ValueError("dimension mismatch")
 
+        # Drop any state from a previous compute() before either branch:
+        # a native small-N factorization must never survive into a later
+        # XLA-path recompute (or vice versa) on the same solver object.
+        self._reset()
+
         if self._pick_native(n):
             # Eager host path: NumPy lowering + the C++ core — no XLA
             # dispatch at all (the reference's native-speed small-N

@@ -132,6 +132,49 @@ def test_auto_routes_small_n_to_native():
         np.testing.assert_allclose(ll, ll2, rtol=1e-10)
 
 
+def test_same_solver_recompute_small_to_large_clears_native():
+    """Re-computing ONE solver from a native small-N factorization to an
+    XLA large-N one must clear the stale NativeSolver: before the fix,
+    solve()/log_likelihood after the second compute ran the old C++
+    factor (old n) against the new-length buffer and returned garbage
+    (ADVICE r4 high-severity finding)."""
+    import numpy as np
+    from celerite_tpu import GP, terms
+    from celerite_tpu import native as _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(7)
+    gp = GP(terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3))
+    for n, expect_native in ((200, True), (5000, False)):
+        t = np.sort(rng.uniform(0, 10, n))
+        yerr = np.full(n, 0.1)
+        y = np.sin(t) + yerr * rng.standard_normal(n)
+        gp.compute(t, yerr)
+        assert (gp.solver._native is not None) == expect_native, n
+        ll = gp.log_likelihood(y)
+        assert np.isfinite(ll)
+        x = gp.solver.solve(y)
+        assert x.shape == (n,)
+        assert np.all(np.isfinite(x))
+        # Cross-check against a fresh scan-backend solver.
+        from celerite_tpu.solver import CholeskySolver
+
+        s2 = CholeskySolver(method="scan")
+        coeffs, jitter = gp._eval_coefficients()
+        s2.compute(jitter, *coeffs, t=t, diag=yerr**2)
+        ll2 = -0.5 * (
+            s2.dot_solve(y) + s2.log_determinant()
+            + n * np.log(2 * np.pi)
+        )
+        np.testing.assert_allclose(ll, ll2, rtol=1e-8)
+        np.testing.assert_allclose(x, np.asarray(s2.solve(y)), rtol=1e-6,
+                                   atol=1e-8)
+
+
 def test_native_solver_facade_ops_match_scan():
     """solve / dot_solve / dot_L / predict agree between the native and
     scan backends on the same factor."""

@@ -33,6 +33,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument(
+        "--sampling-chains", type=int, default=None,
+        help="run the SAMPLING phase at this many chains (a multiple "
+             "of --chains): warmup adapts step size/mass at the small "
+             "chain count, then the sampling chains start from tiled "
+             "warmup end states (draws from the stationary "
+             "distribution) — amortizing the warmup wall clock over a "
+             "wider folded-lane launch",
+    )
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--samples", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=50)
@@ -135,6 +144,8 @@ def main():
             _hmc_lp.value_and_grad = _vag
 
         def hmc_segment(qs, keys, eps, im):
+            n_ch = qs.shape[0]
+
             def one_step(qs, key):
                 # ONE jittered trajectory length per transition, shared
                 # by every chain: per-chain jitter under vmap pays the
@@ -143,7 +154,7 @@ def main():
                 # resonance-avoiding decorrelation with zero padding.
                 k_n, key = jax.random.split(key)
                 n = jax.random.randint(k_n, (), L // 2 + 1, L + 1)
-                ks = jax.random.split(key, chains)
+                ks = jax.random.split(key, n_ch)
                 qs, info = jax.vmap(
                     lambda q, k: hmc_kernel(
                         _hmc_lp, q, k, eps, im, num_leapfrog=n,
@@ -155,7 +166,7 @@ def main():
                 return qs, (
                     qs, info.accept_prob,
                     jnp.zeros_like(info.accepted),
-                    jnp.full((chains,), L, jnp.int32),
+                    jnp.full((n_ch,), L, jnp.int32),
                     info.energy,
                 )
 
@@ -192,6 +203,24 @@ def main():
     qs, da, wf, inv_mass = jax.block_until_ready(carry)
     t_warm = time.perf_counter() - t0
     eps = da_final(da)
+
+    if args.sampling_chains:
+        if args.sampler != "hmc":
+            raise SystemExit(
+                "--sampling-chains requires --sampler hmc (the NUTS "
+                "segment is built at the warmup chain count)"
+            )
+        if args.sampling_chains % chains:
+            raise SystemExit(
+                "--sampling-chains must be a multiple of --chains"
+            )
+        reps = args.sampling_chains // chains
+        # Warmup end states are draws from the (adapted) stationary
+        # distribution; tiling them starts every sampling chain in
+        # equilibrium.  Duplicates decorrelate within the first chunk,
+        # which is excluded from the timed ESS accounting below.
+        qs = jnp.tile(qs, (reps, 1))
+        chains = args.sampling_chains
 
     # Sampling: first chunk = compile + run; remaining chunks timed.
     t0 = time.perf_counter()
@@ -260,6 +289,7 @@ def main():
         "samples_per_s_postwarmup": round(samples_per_s, 2),
         "n": n,
         "chains": chains,
+        "warmup_chains": args.chains,
         "dim": dim,
         "target_accept": args.target_accept,
         "dense_mass": bool(args.dense_mass),

@@ -383,6 +383,29 @@ class GP(ModelSet):
             y32 = jnp.asarray(y, jnp.float32)
             T_dim = int(mask.sum())
 
+            # Kernel-fast exact mode (ops/dsfused): the same dual-ds
+            # forward-mode arithmetic INSIDE the fused Pallas kernel
+            # family — single sweep, no saves, chain-folded batching.
+            # Routes here on TPU for the common sampler case; general
+            # blocks / active mean parameters / wide models use the lax
+            # dsblocked path below (correct, slower).
+            _pr0, _pc0 = kernel.padded_size
+            _width_ds = _pr0 + 2 * _pc0
+            _mean_active0 = len(idx) > 0 and int(idx.max()) >= nk
+            _use_dsfused = (
+                jax.default_backend() == "tpu"
+                and not _has_gen
+                and not _mean_active0
+                and 0 < _width_ds <= 8
+                and t.shape[0] >= 2048
+                and block_size is None
+            )
+            if _use_dsfused:
+                return self._build_loglik_dsfused(
+                    t_np, y, diag, kernel, fixed, idx, nk, mean_fn,
+                    _pr0, _pc0,
+                )
+
             def _cf(theta):
                 full = fixed.at[idx].set(theta) if len(idx) else fixed
                 kp = full[:nk]
@@ -967,6 +990,146 @@ class GP(ModelSet):
         loglik_fast.defvjp(_fwd, _bwd)
         return loglik_fast
 
+    def _build_loglik_dsfused(self, t_np, y, diag, kernel, fixed, idx,
+                              nk, mean_fn, pr, pc):
+        """Kernel-fast ``precision="ds"``: dual-ds fused Pallas pipeline.
+
+        Returns the same ``theta -> (ll, ok)`` closure contract as the
+        lax ds path (custom VJP + ``value_ok_grad``), but the value AND
+        the forward-mode ds gradient run inside the single-sweep fused
+        kernels (ops/dsfused) with chain-folded batching (make_vog) —
+        the exact-mode equivalent of the f32 fused4 hot path.  The
+        reference gets this for free from hardware f64 + forward-mode
+        coefficient AD (cholesky.h:41-210, solver.cpp:347-463).
+        """
+        import jax as _jax
+
+        from .ops import dsfused as _dsf
+        from .ops import lanes4 as _lanes4
+        from .ops.vog_prim import make_vog
+
+        width = pr + 2 * pc
+        n_pts = int(t_np.shape[0])
+        C = _dsf.cf_len(pr, pc)
+        # Wide models stream the tangent directions in chunks: the
+        # dual-ds scratch is 2(1+T) words per carry, and T = C can
+        # push the (nw, P, P, 8, W) buffers past scoped VMEM at P > 4.
+        tan_chunk = None if width <= 4 else max(4, C // 3)
+
+        # Static residual (no active mean parameters on this route).
+        _y_resid_np = np.asarray(y, np.float64) - np.asarray(
+            mean_fn(fixed[nk:], jnp.asarray(t_np)), np.float64
+        )
+        _diag_np = np.asarray(diag, np.float64)
+
+        nb = max(_lanes4.default_num_blocks4(n_pts, width), 1024)
+        # ds lane budget: the dual carries are 2(1+T)x the f32 ones.
+        nb = min(nb, 2048 if width <= 4 else 1024)
+        plan_ds = _dsf.make_plan_ds(t_np, _y_resid_np, _diag_np, nb)
+        _fn_grad = _dsf.build_ll_and_grad_ds(
+            plan_ds, pr, pc, tan_chunk=tan_chunk
+        )
+        _fn_primal = _dsf.build_ll_ds(plan_ds, pr, pc)
+
+        def _cf_pack(theta):
+            full = fixed.at[idx].set(theta) if len(idx) else fixed
+            kp = full[:nk]
+            coeffs = Coefficients(
+                *kernel.get_padded_coefficients(kp),
+                jitter=kernel.get_jitter(kp),
+            )
+            return _dsf.pack_cf_ds(coeffs)
+
+        def _vog_single(theta):
+            cfv = _cf_pack(theta)
+            ll, ok, gcf = _fn_grad(cfv)
+            _, vjp = _jax.vjp(_cf_pack, theta)
+            g = vjp(gcf)[0].astype(theta.dtype)
+            return ll, ok, g
+
+        # Chain folding for vmapped samplers: one launch per <= 32
+        # chains, lanes split across the chain segments.
+        _folded_cache = {}
+        _chunk_cap = 32
+
+        def _get_folded(nc):
+            if nc not in _folded_cache:
+                bc = max(8, (2048 if width <= 4 else 1024) // nc)
+                while bc > 8 and bc > 2 * n_pts:
+                    bc //= 2
+                with _jax.ensure_compile_time_eval():
+                    planb = _dsf.make_plan_ds(
+                        t_np, _y_resid_np, _diag_np, bc, n_chain=nc
+                    )
+                fnb = _dsf.build_ll_and_grad_ds(
+                    planb, pr, pc, n_chain=nc, tan_chunk=tan_chunk
+                )
+                _folded_cache[nc] = fnb
+            return _folded_cache[nc]
+
+        def _batched_vog(thetas):
+            axis_size = thetas.shape[0]
+            if axis_size == 1:
+                return _jax.lax.map(_vog_single, thetas)
+            nc = 1 << max(0, int(axis_size) - 1).bit_length()
+            if nc > _chunk_cap:
+                nch = _chunk_cap
+                pad = (-axis_size) % nch
+                th = (
+                    jnp.concatenate(
+                        [thetas, jnp.broadcast_to(
+                            thetas[:1], (pad,) + thetas.shape[1:]
+                        )]
+                    ) if pad else thetas
+                )
+                th = th.reshape(-1, nch, th.shape[-1])
+                ll, ok, gr = _jax.lax.map(_batched_vog, th)
+                return (
+                    ll.reshape(-1)[:axis_size],
+                    ok.reshape(-1)[:axis_size],
+                    gr.reshape(-1, gr.shape[-1])[:axis_size],
+                )
+            padn = nc - axis_size
+            th = (
+                jnp.concatenate(
+                    [thetas, jnp.broadcast_to(
+                        thetas[:1], (padn,) + thetas.shape[1:]
+                    )]
+                ) if padn else thetas
+            )
+            fnb = _get_folded(nc)
+            cfs = _jax.vmap(_cf_pack)(th)
+            ll, ok, gcf = fnb(cfs)
+
+            def _one_bwd(th_c, g_c):
+                _, vjp = _jax.vjp(_cf_pack, th_c)
+                return vjp(g_c)[0].astype(th_c.dtype)
+
+            g = _jax.vmap(_one_bwd)(th, gcf)
+            return ll[:axis_size], ok[:axis_size], g[:axis_size]
+
+        dim = int(np.flatnonzero(np.asarray(self.unfrozen_mask)).size)
+        vog = make_vog(
+            _vog_single, _batched_vog, dim, jnp.float32,
+            name="celerite_ds_vog",
+        )
+
+        @jax.custom_vjp
+        def loglik_ds(theta):
+            return _fn_primal(_cf_pack(theta))
+
+        def _ds_fwd(theta):
+            ll, ok, grad = _vog_single(theta)
+            return (ll, ok), grad
+
+        def _ds_bwd(grad, g):
+            g_ll, _ = g
+            return (g_ll * grad,)
+
+        loglik_ds.defvjp(_ds_fwd, _ds_bwd)
+        loglik_ds.value_ok_grad = vog
+        return loglik_ds
+
     def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
                       solver="auto", block_size=None, fast_grad=None,
                       precision=None):
@@ -986,8 +1149,8 @@ class GP(ModelSet):
 
         ``precision="ds"`` routes the likelihood (value AND gradient)
         through the double-single solver (``build_loglik`` precision
-        semantics): ~48-bit-significand accuracy on TPU at ~5-10x the
-        f32 kernel cost — the opt-in for posteriors whose f32 gradient
+        semantics): ~48-bit-significand accuracy on TPU (cost: see
+        docs/precision.md) — the opt-in for posteriors whose f32 gradient
         noise produces divergences (see docs/precision.md).
         """
         ll_fn = self.build_loglik(

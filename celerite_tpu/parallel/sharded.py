@@ -309,6 +309,9 @@ def sample_smc_sharded(
     target_ess_frac=0.5,
     max_stages=50,
     particle_chunk=None,
+    host_loop=False,
+    progress=None,
+    mass_fn=None,
 ):
     """Adaptive-tempering SMC with particles sharded over the mesh.
 
@@ -332,6 +335,15 @@ def sample_smc_sharded(
     flat vmap over n particles materializes n copies at once (measured:
     512 particles x 10k curves wants a 33.5 GB saves buffer — past HBM).
     Must divide the per-device particle count.
+
+    ``host_loop``: run the beta < 1 tempering loop on the host, one
+    jitted device program per stage, instead of a single lax.while_loop
+    program.  Required at fleet scale: one stage is ~10^4 gradient
+    evals of a 10k-curve fleet (minutes of device time), and a
+    monolithic multi-stage program exceeds what remote-runtime
+    transports tolerate (observed: TPU worker crash).  ``progress``
+    (host_loop only): callback ``(stage, beta, accept, particles) ->
+    None`` after each stage.
     """
     from ..inference.hmc import hmc_kernel
     from ..inference.smc import SMCResult
@@ -375,10 +387,9 @@ def sample_smc_sharded(
 
         return g
 
-    def local(particles, key):
+    def local(particles, key, beta0, log_z0, k_stage0, accept0, step0):
         dtype = particles.dtype
         n_loc = particles.shape[0]
-        key = jax.random.fold_in(key, 0)  # same stream on every device
         vlike = _chunked_vmap(log_like_fn)
 
         def safe(x):
@@ -440,36 +451,55 @@ def sample_smc_sharded(
 
             # Cloud-variance HMC metric, pooled across shards so every
             # device mutates with the same (global) scale
-            # (inference/smc.py mutate).
-            mean_loc = jnp.mean(particles, axis=0)
-            mean_g = lax.pmean(mean_loc, CHAIN_AXIS)
-            var_g = lax.pmean(
-                jnp.mean((particles - mean_g) ** 2, axis=0), CHAIN_AXIS
-            )
-            inv_mass = jnp.maximum(var_g, 1e-10)
+            # (inference/smc.py mutate).  ``mass_fn`` overrides it —
+            # e.g. a mode-folded variance for multimodal targets, where
+            # the raw cloud variance holds the inter-mode spread and
+            # mis-scales every within-mode proposal.
+            if mass_fn is not None:
+                inv_mass = mass_fn(particles, CHAIN_AXIS)
+            else:
+                mean_loc = jnp.mean(particles, axis=0)
+                mean_g = lax.pmean(mean_loc, CHAIN_AXIS)
+                var_g = lax.pmean(
+                    jnp.mean((particles - mean_g) ** 2, axis=0),
+                    CHAIN_AXIS,
+                )
+                inv_mass = jnp.maximum(var_g, 1e-10)
 
-            def one(p, k):
-                def body(carry, kk):
-                    q, acc = carry
-                    q, info = hmc_kernel(
-                        tempered, q, kk, step_size,
-                        inv_mass,
+            # One HMC transition for every particle, then a pooled
+            # step-size correction, repeated num_mutations times: the
+            # WITHIN-stage adaptation reacts num_mutations times faster
+            # than once-per-stage correction — without it, a sharply
+            # tempered target (fleet scale) outruns the step and the
+            # mutations stall in a runaway (measured: accept 0.98 ->
+            # 0.003 over 11 stages with per-stage-only adaptation).
+            my = lax.axis_index(CHAIN_AXIS)
+
+            def one_round(carry, kk):
+                parts, step = carry
+                keys = jax.random.split(
+                    jax.random.fold_in(kk, my), n_loc
+                )
+                parts, info = _chunked_vmap(
+                    lambda p, k: hmc_kernel(
+                        tempered, p, k, step, inv_mass,
                         num_leapfrog=num_leapfrog,
                     )
-                    return (q, acc + info.accept_prob), None
-
-                (q, acc), _ = lax.scan(
-                    body,
-                    (p, jnp.zeros((), dtype)),
-                    jax.random.split(k, num_mutations),
+                )(parts, keys)
+                acc = lax.pmean(
+                    jnp.mean(info.accept_prob), CHAIN_AXIS
                 )
-                return q, acc / num_mutations
+                step = step * jnp.exp(
+                    jnp.clip(1.5 * (acc - 0.6), -1.2, 0.5)
+                )
+                return (parts, step), acc
 
-            my = lax.axis_index(CHAIN_AXIS)
-            keys = jax.random.split(
-                jax.random.fold_in(key, my), n_loc
+            (particles, step_new), accs = lax.scan(
+                one_round,
+                (particles, step_size),
+                jax.random.split(key, num_mutations),
             )
-            return _chunked_vmap(one)(particles, keys)
+            return particles, jnp.mean(accs), step_new
 
         def stage(state):
             key, particles, beta, log_z, k_stage, accept, step = state
@@ -500,9 +530,16 @@ def sample_smc_sharded(
             )
             particles = parts_all[local_idx]
 
-            particles, acc = mutate(particles, k_mut, beta_new, step)
-            mean_accept = lax.pmean(jnp.mean(acc), CHAIN_AXIS)
-            step = step * jnp.exp(0.5 * (mean_accept - 0.6))
+            # NOTE on step scaling: the metric (cloud or ``mass_fn``
+            # variance) already tracks the tempered posterior's
+            # sharpening — the step stays in METRIC units, adapted
+            # reactively per mutation round inside ``mutate``.  (A
+            # predictive sqrt(beta ratio) rescale was tried and
+            # double-counts the sharpening: steps collapse, accept
+            # pins at ~1, and mutations stop mixing.)
+            particles, mean_accept, step = mutate(
+                particles, k_mut, beta_new, step
+            )
             return (
                 key, particles, beta_new, log_z, k_stage + 1,
                 mean_accept, step,
@@ -513,25 +550,54 @@ def sample_smc_sharded(
             return (beta < 1.0) & (k_stage < max_stages)
 
         init = (
-            key,
-            particles,
-            jnp.zeros((), dtype),
-            jnp.zeros((), dtype),
-            jnp.zeros((), jnp.int32),
-            jnp.ones((), dtype),
-            jnp.asarray(hmc_step_size, dtype),
+            key, particles, beta0, log_z0, k_stage0, accept0, step0,
         )
-        out = lax.while_loop(cond, stage, init)
-        return out[1], out[3], out[4], out[5]
+        if host_loop:
+            return stage(init)
+        return lax.while_loop(cond, stage, init)
 
+    state_specs = (P(), P(CHAIN_AXIS), P(), P(), P(), P(), P())
     fn = jax.shard_map(
         local,
         mesh=mesh1,
-        in_specs=(P(CHAIN_AXIS), P()),
-        out_specs=(P(CHAIN_AXIS), P(), P(), P()),
+        in_specs=(P(CHAIN_AXIS),) + state_specs[:1] + state_specs[2:],
+        out_specs=state_specs,
         check_vma=False,
     )
-    particles, log_z, stages, accept = fn(init_particles, key)
+    dtype = init_particles.dtype
+    key = jax.random.fold_in(key, 0)  # same stream on every device
+    state = (
+        key,
+        init_particles,
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.ones((), dtype),
+        jnp.asarray(hmc_step_size, dtype),
+    )
+    if host_loop:
+        # One jitted device program PER TEMPERING STAGE, with the
+        # beta < 1 loop on the host: at fleet scale a single-program
+        # while_loop runs for tens of minutes of device time, which
+        # remote-runtime transports kill; per-stage calls also give
+        # progress (``progress`` callback per stage) and crash isolation.
+        step_fn = jax.jit(fn)
+        while True:
+            beta = float(state[2])
+            k_stage = int(state[4])
+            if beta >= 1.0 or k_stage >= max_stages:
+                break
+            state = step_fn(
+                state[1], state[0], *state[2:]
+            )
+            if progress is not None:
+                progress(
+                    int(state[4]), float(state[2]), float(state[5]),
+                    state[1],
+                )
+    else:
+        state = fn(state[1], state[0], *state[2:])
+    _, particles, _, log_z, stages, accept, _ = state
     return SMCResult(
         particles=particles,
         log_evidence=log_z,

@@ -9,6 +9,16 @@ frequency is ambiguous between omega and a harmonic).
 Run with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/config4_pod_smc.py
+
+This example is the runnable small-scale tour.  The MEASURED config[4]
+configuration is benchmarks/fleet_smc.py: >= 10,240 ragged curves
+folded onto the fused-kernel lanes, an exactly-aliased bimodal
+frequency posterior (regular cadence, prior symmetric about pi — true
+mode weights 0.5/0.5 by construction), ``sample_smc_sharded`` with
+``host_loop=True`` + ``particle_chunk`` for fleet-scale memory, and
+the committed record benchmarks/results/fleet_smc_tpu.json.  Scale
+this example up with ``--curves 10240 --particles 512`` to reproduce
+that regime.
 """
 
 import os

@@ -67,12 +67,46 @@ def main():
         num_warmup=200, num_samples=300,
     )
 
+    # Dense-mass variant: the pooled CROSS-moment psums must agree
+    # across the two processes (the correlated target makes a diagonal
+    # metric visibly worse, so a wrong pool would show in step_size).
+    chain_dm, info_dm = sample_nuts_sharded(
+        logprob, init, jax.random.PRNGKey(1), mesh=mesh,
+        num_warmup=200, num_samples=200, dense_mass=True,
+    )
+
+    # Sharded SMC across the 2-process mesh: psum'd tempering search +
+    # all_gather global systematic resampling over the process boundary.
+    from celerite_tpu.parallel.sharded import sample_smc_sharded
+
+    def log_prior(x):
+        return -0.5 * jnp.sum((x / 3.0) ** 2)
+
+    smc = sample_smc_sharded(
+        log_prior, logprob,
+        jnp.asarray(
+            np.random.default_rng(1).standard_normal((32, 2)) * 3.0
+        ),
+        jax.random.PRNGKey(2), mesh=mesh, num_mutations=3,
+        hmc_step_size=0.3,
+    )
+
     # Dump this process's addressable shards (chain axis is sharded).
     shards = {}
     for s in chain.addressable_shards:
         lo = s.index[0].start or 0
         shards[f"shard_{lo}"] = np.asarray(s.data)
+    for s in chain_dm.addressable_shards:
+        lo = s.index[0].start or 0
+        shards[f"dm_shard_{lo}"] = np.asarray(s.data)
+    for s in smc.particles.addressable_shards:
+        lo = s.index[0].start or 0
+        shards[f"smc_shard_{lo}"] = np.asarray(s.data)
     shards["step_size"] = np.asarray(info["step_size"])
+    shards["dm_step_size"] = np.asarray(info_dm["step_size"])
+    shards["dm_inv_mass"] = np.asarray(info_dm["inv_mass"])
+    shards["smc_log_evidence"] = np.asarray(smc.log_evidence)
+    shards["smc_stages"] = np.asarray(smc.num_stages)
     np.savez(out_path, **shards)
     print("WORKER_OK", proc_id, flush=True)
 

@@ -80,14 +80,28 @@ def test_two_process_sharded_nuts(tmp_path):
 
     # Reassemble the global (8, S, 2) chain from both processes' shards.
     pieces = {}
-    steps = []
+    dm_pieces = {}
+    smc_pieces = {}
+    steps, dm_steps, dm_mass, smc_z, smc_stages = [], [], [], [], []
     for out in outs:
         with np.load(out) as z:
             for k in z.files:
                 if k.startswith("shard_"):
                     pieces[int(k.split("_")[1])] = z[k]
+                elif k.startswith("dm_shard_"):
+                    dm_pieces[int(k.split("_")[2])] = z[k]
+                elif k.startswith("smc_shard_"):
+                    smc_pieces[int(k.split("_")[2])] = z[k]
                 elif k == "step_size":
                     steps.append(float(z[k]))
+                elif k == "dm_step_size":
+                    dm_steps.append(float(z[k]))
+                elif k == "dm_inv_mass":
+                    dm_mass.append(z[k])
+                elif k == "smc_log_evidence":
+                    smc_z.append(float(z[k]))
+                elif k == "smc_stages":
+                    smc_stages.append(int(z[k]))
     chain2 = np.concatenate(
         [pieces[k] for k in sorted(pieces)], axis=0
     )
@@ -129,3 +143,33 @@ def test_two_process_sharded_nuts(tmp_path):
     np.testing.assert_allclose(
         np.cov(s2.T), np.asarray(cov), rtol=0.35, atol=0.2
     )
+
+    # Dense-mass variant across the process boundary: the psum-pooled
+    # CROSS moments must produce identical adaptation on both
+    # processes, a full (2, 2) inverse mass tracking the correlated
+    # target, and a posterior matching the target.
+    assert dm_steps[0] == dm_steps[1]
+    np.testing.assert_array_equal(dm_mass[0], dm_mass[1])
+    assert dm_mass[0].shape == (2, 2)
+    # The target correlation is 1.2/sqrt(2*1.5) = 0.69; the adapted
+    # metric must pick up a clearly positive off-diagonal.
+    corr = dm_mass[0][0, 1] / np.sqrt(
+        dm_mass[0][0, 0] * dm_mass[0][1, 1]
+    )
+    assert corr > 0.3, dm_mass[0]
+    chain_dm = np.concatenate(
+        [dm_pieces[k] for k in sorted(dm_pieces)], axis=0
+    )
+    sdm = chain_dm.reshape(-1, 2)
+    np.testing.assert_allclose(sdm.mean(0), np.asarray(mu), atol=0.35)
+
+    # Sharded SMC across the process boundary: pooled tempering search
+    # and the evidence psums agree exactly; the resampled + mutated
+    # particle cloud matches the target moments.
+    assert smc_stages[0] == smc_stages[1]
+    assert abs(smc_z[0] - smc_z[1]) < 1e-6
+    parts = np.concatenate(
+        [smc_pieces[k] for k in sorted(smc_pieces)], axis=0
+    )
+    assert parts.shape[0] == 32
+    np.testing.assert_allclose(parts.mean(0), np.asarray(mu), atol=0.6)

@@ -1011,10 +1011,11 @@ class GP(ModelSet):
         width = pr + 2 * pc
         n_pts = int(t_np.shape[0])
         C = _dsf.cf_len(pr, pc)
-        # Wide models stream the tangent directions in chunks: the
-        # dual-ds scratch is 2(1+T) words per carry, and T = C can
-        # push the (nw, P, P, 8, W) buffers past scoped VMEM at P > 4.
-        tan_chunk = None if width <= 4 else max(4, C // 3)
+        # Tangent directions stream in chunks of <= 4 per launch
+        # (dsfused default): Mosaic compile time is superlinear in the
+        # dual width, and the runtime seed planes let every chunk
+        # reuse one compiled kernel pair.
+        tan_chunk = None
 
         # Static residual (no active mean parameters on this route).
         _y_resid_np = np.asarray(y, np.float64) - np.asarray(

@@ -267,15 +267,21 @@ def _dcompose_elem(e1, e2, T):
 # ---------------------------------------------------------------------------
 
 
-def _ds_lower_step(cf_ref, jr, jc, T, toff, t, tl, dthi, dtlo, dg, m):
+def _ds_lower_step(cf_ref, jr, jc, T, toff, tan_count, t, tl, dthi,
+                   dtlo, dg, m):
     """Build dual-ds (u, v, ph, a) for one streamed step.
 
     ``cf_ref`` holds the (C, 8, W) coefficient planes of
     :func:`pack_cf_ds` (f32; coefficient-level rounding evaluates a
-    nearby valid kernel and stays coherent — dslower docstring).  Unit
-    tangent seeds: direction ``j`` differentiates w.r.t. packed
-    coefficient ``toff + j``.  t/tl and dthi/dtlo are the exact ds
-    splits of the time grid and spacings; dg/m the f32 diag and mask.
+    nearby valid kernel and stays coherent — dslower docstring).
+    Tangent direction ``j`` carries a STATIC unit seed on packed
+    coefficient ``toff + j`` (zero past ``tan_count``).  Static seeds
+    matter: XLA constant-folds every structurally-zero tangent chain
+    (e.g. a c_real direction's u/v tangents), which is the difference
+    between a minutes-scale and an hour-scale Mosaic compile — a
+    runtime seed-plane variant was tried and tripled the instruction
+    count.  t/tl and dthi/dtlo are the exact ds splits of the time
+    grid and spacings; dg/m the f32 diag and mask.
 
     Mirrors :func:`celerite_tpu.ops.dslower.lower_ds` formula-for-
     formula on (8, W) tiles.
@@ -291,7 +297,7 @@ def _ds_lower_step(cf_ref, jr, jc, T, toff, t, tl, dthi, dtlo, dg, m):
             return v
         tans = []
         for j in range(T):
-            if toff + j == k:
+            if toff + j == k and toff + j < tan_count:
                 tans.append(DS(one_plane, zero_plane))
             else:
                 tans.append(DS(zero_plane, zero_plane))
@@ -370,8 +376,9 @@ def _ds_factor_step(Sh, u, v, ph, a):
 # ---------------------------------------------------------------------------
 
 
-def _elem_kernel(jr, jc, T, toff,
-                 cf_ref, t_ref, tl_ref, dt_ref, dtl_ref, dg_ref, m_ref,
+def _elem_kernel(jr, jc, T, toff, tan_count,
+                 cf_ref, t_ref, tl_ref, dt_ref, dtl_ref,
+                 dg_ref, m_ref,
                  A_out, J_out, C_out):
     i = pl.program_id(0)
     nw = _nwords(T)
@@ -391,7 +398,7 @@ def _elem_kernel(jr, jc, T, toff,
             C_out[k] = zpp
 
     u, v, ph, a = _ds_lower_step(
-        cf_ref, jr, jc, T, toff,
+        cf_ref, jr, jc, T, toff, tan_count,
         t_ref[0], tl_ref[0], dt_ref[0], dtl_ref[0], dg_ref[0], m_ref[0],
     )
 
@@ -422,9 +429,9 @@ def _elem_kernel(jr, jc, T, toff,
 # ---------------------------------------------------------------------------
 
 
-def _factor_kernel(jr, jc, T, toff,
-                   cf_ref, t_ref, tl_ref, dt_ref, dtl_ref, dg_ref,
-                   m_ref, y_ref, sh0_ref,
+def _factor_kernel(jr, jc, T, toff, tan_count,
+                   cf_ref, t_ref, tl_ref, dt_ref, dtl_ref,
+                   dg_ref, m_ref, y_ref, sh0_ref,
                    M_out, m_out, Qm_out, qv_out, q0_out, ld_out,
                    mind_out, Sh_scr):
     i = pl.program_id(0)
@@ -454,7 +461,7 @@ def _factor_kernel(jr, jc, T, toff,
         Sh_scr[:] = sh0_ref[:]
 
     u, v, ph, a = _ds_lower_step(
-        cf_ref, jr, jc, T, toff,
+        cf_ref, jr, jc, T, toff, tan_count,
         t_ref[0], tl_ref[0], dt_ref[0], dtl_ref[0], dg_ref[0], m_ref[0],
     )
     y = y_ref[0][None]
@@ -506,7 +513,7 @@ def _step_spec(s8, w):
                         memory_space=pltpu.VMEM)
 
 
-def _run_elems(cf, plan, jr, jc, T, toff, interpret=False):
+def _run_elems(cf, plan, jr, jc, T, toff, tan_count, interpret=False):
     L, s8, w = plan.t.shape
     p = jr + 2 * jc
     nw = _nwords(T)
@@ -517,7 +524,7 @@ def _run_elems(cf, plan, jr, jc, T, toff, interpret=False):
     full = pl.BlockSpec((nw, p, p, s8, w), lambda i: (0, 0, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_elem_kernel, jr, jc, T, toff),
+        functools.partial(_elem_kernel, jr, jc, T, toff, tan_count),
         grid=(L,),
         in_specs=[cfspec, step, step, step, step, step, step],
         out_specs=[full, full, full],
@@ -528,7 +535,8 @@ def _run_elems(cf, plan, jr, jc, T, toff, interpret=False):
       plan.diag, plan.mask)
 
 
-def _run_factor(cf, plan, jr, jc, T, toff, y, sh0, interpret=False):
+def _run_factor(cf, plan, jr, jc, T, toff, tan_count, y, sh0,
+                interpret=False):
     L, s8, w = plan.t.shape
     p = jr + 2 * jc
     nw = _nwords(T)
@@ -545,10 +553,10 @@ def _run_factor(cf, plan, jr, jc, T, toff, y, sh0, interpret=False):
     full_f = pl.BlockSpec((1, s8, w), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_factor_kernel, jr, jc, T, toff),
+        functools.partial(_factor_kernel, jr, jc, T, toff, tan_count),
         grid=(L,),
-        in_specs=[cfspec, step, step, step, step, step, step, step,
-                  full_pp],
+        in_specs=[cfspec, step, step, step, step, step, step,
+                  step, full_pp],
         out_specs=[full_pp, full_p, full_pp, full_p, full_1, full_1,
                    full_f],
         out_shape=[
@@ -714,12 +722,15 @@ def make_plan_ds(t, y, diag, num_blocks, n_chain=1):
 # ---------------------------------------------------------------------------
 
 
-def _run_pipeline(cf, plan, jr, jc, T, toff, y, state_seg, interpret):
+def _run_pipeline(cf, plan, jr, jc, T, toff, tan_count, y, state_seg,
+                  interpret):
     _, s8, w = plan.t.shape
-    A, J, C = _run_elems(cf, plan, jr, jc, T, toff, interpret=interpret)
+    A, J, C = _run_elems(cf, plan, jr, jc, T, toff, tan_count,
+                         interpret=interpret)
     sh0 = _ds_prefix_sh0(A, J, C, T, state_seg, w)
     M, m, Qm, qv, q0, ld, mind = _run_factor(
-        cf, plan, jr, jc, T, toff, y, sh0, interpret=interpret
+        cf, plan, jr, jc, T, toff, tan_count, y, sh0,
+        interpret=interpret,
     )
     return M, m, Qm, qv, q0, ld, mind
 
@@ -747,8 +758,11 @@ def build_ll_and_grad_ds(plan: PlanDS, jr, jc, n_chain=1, n_seg=None,
     ``cf`` is a flat (C,) packed vector (:func:`pack_cf_ds`) or an
     (n_chain, C) batch on a chain-folded plan.  The gradient covers the
     first ``tan_count`` packed coefficients (default: all C), computed
-    ``tan_chunk`` directions per kernel launch (default: all at once;
-    smaller chunks trade launches for VMEM/compile size).
+    ``tan_chunk`` directions per kernel launch with STATIC unit seeds:
+    Mosaic compile time grows superlinearly in the dual width
+    (measured: T=7/P=3 ~5 min, T=9/P=4 ran >50 min before being
+    killed), so the default keeps T <= 4 per launch — the last chunk
+    pads with structurally-zero directions, which XLA folds away.
     """
     _, s8, w = plan.t.shape
     c = cf_len(jr, jc)
@@ -762,7 +776,11 @@ def build_ll_and_grad_ds(plan: PlanDS, jr, jc, n_chain=1, n_seg=None,
     if tan_count is None:
         tan_count = c
     if tan_chunk is None:
-        tan_chunk = tan_count if tan_count else 1
+        # Equal-ish chunks, each <= 4 directions (compile-time sweet
+        # spot); the last chunk zero-pads to the same T.
+        tan_chunk = (
+            min(4, tan_count) if tan_count else 1
+        )
     dtype = plan.t.dtype
 
     def fn(cf, y4=None):
@@ -773,9 +791,13 @@ def build_ll_and_grad_ds(plan: PlanDS, jr, jc, n_chain=1, n_seg=None,
         grads = []
         offs = list(range(0, tan_count, tan_chunk)) or [0]
         for toff in offs:
-            T = min(tan_chunk, tan_count - toff) if tan_count else 0
+            T = tan_chunk if tan_count else 0
+            n_live = (
+                min(tan_chunk, tan_count - toff) if tan_count else 0
+            )
             outs = _run_pipeline(
-                cf, plan, jr, jc, T, toff, y4, state_seg, interpret
+                cf, plan, jr, jc, T, toff, tan_count,
+                y4, state_seg, interpret,
             )
             M, m, Qm, qv, q0, ld, mind = outs
             tot_seg = _ds_assemble(
@@ -788,7 +810,7 @@ def build_ll_and_grad_ds(plan: PlanDS, jr, jc, n_chain=1, n_seg=None,
                 mind_keep = mind
             if isinstance(tot_seg, DD):
                 grads.extend(
-                    dsa.to_f32(t) for t in tot_seg.tan
+                    dsa.to_f32(t) for t in tot_seg.tan[:n_live]
                 )
 
         nlog = jnp.asarray(plan.n, dtype) * jnp.log(

@@ -65,6 +65,12 @@ def main():
     )
     ap.add_argument("--hmc-leapfrog", type=int, default=16)
     ap.add_argument(
+        "--fast-compile", action="store_true",
+        help="first-contact escape hatch: pure-lax blocked solver with "
+             "plain AD (no Mosaic kernels; seconds-scale compile, "
+             "slower per-leapfrog)",
+    )
+    ap.add_argument(
         "--cpu-f64", action="store_true",
         help="run on the host CPU in float64 (attribution experiment: "
              "is the divergence floor f32 noise or true geometry?)",
@@ -118,6 +124,7 @@ def main():
         t, y, yerr=yerr,
         log_prior=lambda th: -0.5 * jnp.sum((th / 3.0) ** 2),
         precision=None if args.precision == "f32" else args.precision,
+        fast_compile=args.fast_compile,
     )
     dim = gp.vector_size
     dtype = jnp.result_type(float)
@@ -294,6 +301,7 @@ def main():
         "target_accept": args.target_accept,
         "dense_mass": bool(args.dense_mass),
         "precision": "f64" if args.cpu_f64 else args.precision,
+        "fast_compile": bool(args.fast_compile),
         "platform": jax.default_backend(),
         "sampler": args.sampler,
         "hmc_leapfrog": (

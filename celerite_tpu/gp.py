@@ -277,7 +277,8 @@ class GP(ModelSet):
 
     # -- pure functional core ------------------------------------------------
     def build_loglik(self, t, y, yerr=1.123e-12, diag=None, solver="auto",
-                     block_size=None, fast_grad=False, precision=None):
+                     block_size=None, fast_grad=False, precision=None,
+                     fast_compile=False):
         """Return a pure jittable ``theta_active -> (ll, ok)`` closure.
 
         ``theta_active`` follows ``get_parameter_vector()`` ordering (kernel
@@ -316,7 +317,20 @@ class GP(ModelSet):
         arithmetic unless ``--xla_cpu_max_isa=SSE4_2`` is in
         ``XLA_FLAGS`` (tests/conftest.py pins it); TPU preserves it
         natively.
+
+        ``fast_compile``: first-contact escape hatch for the cold-start
+        compile tax.  Forces the pure-lax block-parallel solver with
+        plain autodiff — NO Pallas/Mosaic kernels anywhere in the
+        program, so the one-time compile is seconds instead of minutes
+        (the Mosaic kernel compiles re-run inside every distinct outer
+        jit program; a sampler's warmup+sampling programs each pay
+        them).  Eval cost vs the kernel path: comparable primal at
+        N<=1e5 (measured 3.4 vs 4.2 ms), ~2-4x the gradient.  Ignored
+        when ``precision='ds'`` takes the lax path anyway.
         """
+        if fast_compile:
+            solver = "blocked"
+            fast_grad = False
         t_np = np.atleast_1d(np.asarray(t, dtype=np.float64))
         t = jnp.asarray(t_np, dtype=jnp.result_type(float))
         y = jnp.asarray(y)
@@ -399,6 +413,8 @@ class GP(ModelSet):
                 and 0 < _width_ds <= 8
                 and t.shape[0] >= 2048
                 and block_size is None
+                and not fast_compile
+                and not os.environ.get("CELERITE_TPU_DS_LAX")
             )
             if _use_dsfused:
                 return self._build_loglik_dsfused(
@@ -1133,7 +1149,7 @@ class GP(ModelSet):
 
     def build_logprob(self, t, y, yerr=1.123e-12, log_prior=None,
                       solver="auto", block_size=None, fast_grad=None,
-                      precision=None):
+                      precision=None, fast_compile=False):
         """Pure ``theta -> log posterior`` (ll + prior), -inf-safe.
 
         ``log_prior`` defaults to a traceable box prior built from the
@@ -1157,7 +1173,7 @@ class GP(ModelSet):
         ll_fn = self.build_loglik(
             t, y, yerr=yerr, solver=solver, block_size=block_size,
             fast_grad=False if fast_grad is None else fast_grad,
-            precision=precision,
+            precision=precision, fast_compile=fast_compile,
         )
         if log_prior is None:
             bounds = self.get_parameter_bounds()

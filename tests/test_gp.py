@@ -389,3 +389,31 @@ def test_nyquist_singularity():
         + len(y) * np.log(2 * np.pi)
     )
     np.testing.assert_allclose(llgp, ll)
+
+
+def test_build_loglik_fast_compile_matches():
+    """fast_compile=True (the cold-start escape hatch: pure-lax blocked
+    solver, no Pallas) must agree with the default path and stay
+    differentiable via plain AD."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 4500  # above the seq cutoff so the default path is non-trivial
+    t = np.sort(rng.uniform(0, 20, n))
+    yerr = np.full(n, 0.1)
+    y = np.sin(t) + yerr * rng.standard_normal(n)
+    gp = GP(terms.SHOTerm(log_S0=0.1, log_Q=1.0, log_omega0=0.3))
+    th = jnp.asarray(gp.get_parameter_vector())
+
+    base = gp.build_loglik(t, y, yerr=yerr)
+    fast = gp.build_loglik(t, y, yerr=yerr, fast_compile=True)
+    ll0, ok0 = base(th)
+    ll1, ok1 = fast(th)
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_allclose(float(ll0), float(ll1), rtol=1e-8)
+    g = jax.grad(lambda p: fast(p)[0])(th)
+    g0 = jax.grad(lambda p: base(p)[0])(th)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g0), rtol=1e-6, atol=1e-8
+    )

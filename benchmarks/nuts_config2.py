@@ -203,10 +203,16 @@ def main():
         carry, _ = warm(
             carry, warm_keys[lo:hi], mass_win[lo:hi], win_end[lo:hi]
         )
+        # Block per chunk: long sampler runs through the remote runtime
+        # must not queue an unbounded async dispatch stream (observed:
+        # worker crash mid-stream on the ds run), and the per-chunk
+        # prints give progress + crash isolation.
+        jax.block_until_ready(carry[0])
         if lo == 0:
-            jax.block_until_ready(carry[0])
             t_compile_warm = time.perf_counter() - t0
             t0 = time.perf_counter()
+        print(f"warmup {hi}/{args.warmup} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
     qs, da, wf, inv_mass = jax.block_until_ready(carry)
     t_warm = time.perf_counter() - t0
     eps = da_final(da)
@@ -249,7 +255,9 @@ def main():
         divs.append(jnp.sum(d))
         steps.append(jnp.sum(s))
         n_timed += hi - lo
-    jax.block_until_ready(qs)
+        jax.block_until_ready(qs)
+        print(f"sampling {hi}/{args.samples} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
     t_samp = time.perf_counter() - t0
 
     chain = np.asarray(jnp.concatenate(chunks, axis=0))

@@ -76,6 +76,12 @@ def timer(fn, *a, sync=None, repeat=None, budget=5.0):
 
 
 def grid(args):
+    if getattr(args, "cells", None):
+        # "P:N,P:N" — re-run only these cells (merge mode).
+        for spec in args.cells.split(","):
+            P, n = spec.split(":")
+            yield int(P), int(n)
+        return
     for P in map(int, args.ranks.split(",")):
         for logn in range(args.minN, args.maxN + 1, args.stepN):
             yield P, 2**logn
@@ -129,6 +135,12 @@ def main():
     ap.add_argument("--maxN", type=int, default=20)
     ap.add_argument("--stepN", type=int, default=2)
     ap.add_argument("--make-oracles", action="store_true")
+    ap.add_argument("--cells", default=None,
+                    help="re-run only these cells, e.g. '32:65536,"
+                         "128:16384' (use with --merge)")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge the run's rows into the existing "
+                         "output CSV instead of overwriting it")
     args = ap.parse_args()
 
     if args.make_oracles:
@@ -191,20 +203,47 @@ def main():
         th = jnp.asarray(
             gp.get_parameter_vector(), jnp.result_type(float)
         )
-        try:
-            ll = jax.jit(gp.build_loglik(t, y, yerr=yerr))
-            t_ll = timer(ll, th, sync=sync)
-            val = float(np.asarray(ll(th)[0]))
-        except Exception as e:  # OOM / compile limits: record + move on
-            print(f"P={P} N={n}: FAIL {type(e).__name__}: {e}",
-                  flush=True)
-            reason = _reason("primal", e)
+        # Primal retry ladder (same idea as the vag ladder below): the
+        # remote-compile helper 500s on the biggest programs, so fall
+        # back to shapes that compile smaller — a quartered-block-count
+        # blocked solver, then the pure-lax fast_compile path (zero
+        # Mosaic; slower per eval but always compiles).
+        from celerite_tpu.ops.blocked import default_block_size
+
+        base_bs = default_block_size(n)
+        primal_ladder = [("", dict())]
+        if n > 4096:
+            primal_ladder += [
+                (f"block{4 * base_bs}",
+                 dict(solver="blocked", block_size=4 * base_bs)),
+                ("laxfast", dict(fast_compile=True)),
+            ]
+        t_ll = val = None
+        primal_reason = ""
+        for ptag, pkw in primal_ladder:
+            bs = pkw.get("block_size")
+            if bs is not None and bs >= n:
+                continue
+            try:
+                ll = jax.jit(gp.build_loglik(t, y, yerr=yerr, **pkw))
+                t_ll = timer(ll, th, sync=sync)
+                val = float(np.asarray(ll(th)[0]))
+                if ptag:
+                    backend = ptag
+                break
+            except Exception as e:
+                print(f"P={P} N={n}: primal FAIL ({ptag or 'default'}) "
+                      f"{type(e).__name__}: {e}", flush=True)
+                primal_reason = _reason(
+                    "primal" + (f"@{ptag}" if ptag else ""), e
+                )
+        if t_ll is None:  # every rung failed: record + move on
             rows.append(dict(
                 P=P, N=n, backend=backend, ll_ms="", vag_ms="",
                 rel_err_vs_f64="",
-                ceiling_reason=reason,
+                ceiling_reason=primal_reason,
             ))
-            ceiling[P] = reason
+            ceiling[P] = primal_reason
             continue
         # The gradient program can exceed compile limits the primal
         # fits under (wide blocked-AD cells: the remote compile helper
@@ -216,10 +255,7 @@ def main():
         vag_reason = ""
         t_vg = None
         vag_variant = ""
-        from celerite_tpu.ops.blocked import default_block_size
-
-        base_bs = default_block_size(n)
-        ladder = [None, 4 * base_bs, 16 * base_bs]
+        ladder = [None, 4 * base_bs, 16 * base_bs, "laxfast"]
         if vag_dead.get(P, 0) >= 2:
             # Two consecutive all-rung failures: larger N would only
             # re-pay the failing compiles; annotate instead.
@@ -229,16 +265,23 @@ def main():
                 "previous N for this P"
             )
         for bs in ladder:
-            if bs is not None and bs >= n:
+            if isinstance(bs, int) and bs >= n:
                 continue
             try:
-                lp = gp.build_logprob(t, y, yerr=yerr, block_size=bs)
+                if bs == "laxfast":
+                    lp = gp.build_logprob(t, y, yerr=yerr,
+                                          fast_compile=True)
+                else:
+                    lp = gp.build_logprob(t, y, yerr=yerr,
+                                          block_size=bs)
                 vag = jax.jit(
                     getattr(lp, "value_and_grad", None)
                     or jax.value_and_grad(lp)
                 )
                 t_vg = timer(vag, th, sync=sync)
-                vag_variant = "" if bs is None else f"block{bs}"
+                vag_variant = ("" if bs is None else
+                               "laxfast" if bs == "laxfast"
+                               else f"block{bs}")
                 vag_reason = ""
                 break
             except Exception as e:
@@ -246,7 +289,7 @@ def main():
                       f"(block_size={bs}) {type(e).__name__}",
                       flush=True)
                 vag_reason = _reason(
-                    "vag" + ("" if bs is None else f"@block{bs}"), e
+                    "vag" + ("" if bs is None else f"@{bs}"), e
                 )
         if t_vg is None and ladder:
             vag_dead[P] = vag_dead.get(P, 0) + 1
@@ -278,6 +321,16 @@ def main():
         print(row, flush=True)
 
     import csv
+
+    if args.merge and os.path.exists(args.output):
+        with open(args.output) as f:
+            merged = {(int(r["P"]), int(r["N"])): r
+                      for r in csv.DictReader(f)}
+        for r in rows:
+            merged[(int(r["P"]), int(r["N"]))] = {
+                k: str(v) for k, v in r.items()
+            }
+        rows = [merged[k] for k in sorted(merged)]
 
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(

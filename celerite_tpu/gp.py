@@ -324,9 +324,19 @@ class GP(ModelSet):
         program, so the one-time compile is seconds instead of minutes
         (the Mosaic kernel compiles re-run inside every distinct outer
         jit program; a sampler's warmup+sampling programs each pay
-        them).  Eval cost vs the kernel path: comparable primal at
-        N<=1e5 (measured 3.4 vs 4.2 ms), ~2-4x the gradient.  Ignored
-        when ``precision='ds'`` takes the lax path anyway.
+        them).  Measured on the v5e chip at N=1e5 (benchmarks/
+        fastcompile_cold.py): cold compile + first value+grad eval
+        76 s from an empty cache (vs 4-6 min for the fused path),
+        then 50.3 ms per value+grad vs ~2.5 ms fused — the hatch
+        trades ~20x the gradient eval cost for a minutes-smaller
+        first-contact wall.  Primal-only evals are comparable
+        (3.4 vs 4.2 ms).  Use it for interactive fit/optimize/predict;
+        do NOT compose it into monolithic sampler segments at large N:
+        the blocked-AD program inlined in NUTS tree while_loops
+        crashes the TPU worker at N=1e5 (same failure class as the
+        monolithic SMC while_loop; warm the kernel cache for MCMC
+        instead).  Ignored when ``precision='ds'`` takes the lax path
+        anyway.
         """
         if fast_compile:
             solver = "blocked"
